@@ -1,0 +1,94 @@
+"""OcOccNet configuration — dataclass mirror of the reference's
+``configs/ococc/ococcnet.py`` public surface (hyperparameters preserved
+value-for-value; structural knobs that exist only to patch torch quirks are
+dropped).
+"""
+from __future__ import annotations
+
+import dataclasses
+from typing import Sequence, Tuple
+
+
+@dataclasses.dataclass(frozen=True)
+class OcOccNetConfig:
+    # static shapes
+    batch_size: int = 4                 # tracklets per device (samples_per_gpu)
+    reg_len: int = 32                   # frames per tracklet at train
+    max_points_per_frame: int = 1024    # LoadTrackletPoints max_points
+    num_occ_samples: int = 512          # RandomSampleOccPoints num_sample_points
+    max_frame_ind: int = 200            # random_shift_frame_inds range
+
+    # RoI pooling (TrackletPointRoIExtractor)
+    extra_wlh: Tuple[float, float, float] = (0.5, 0.5, 0.5)
+
+    # SIR RoI encoder (OccBBoxHead blocks)
+    num_blocks: int = 6
+    feat_channels: Tuple[int, int] = (128, 128)
+    rel_mlp_hidden: Tuple[int, int] = (16, 32)
+    xyz_normalizer: Tuple[float, float, float] = (20.0, 20.0, 4.0)
+
+    # Occupancy auto-encoder (OccAutoEncoder)
+    ae_voxel_size: float = 0.2
+    ae_xyz_normalizer: Tuple[float, float, float] = (1.0, 1.0, 1.0)
+
+    # Occupancy decoder (OccDecoder)
+    occ_mlp: Tuple[int, int, int] = (512, 1024, 1024)
+    pos_encode_freqs: int = 10
+    occ_dropout: float = 0.1
+    occ_pos_thresh: float = 0.5
+
+    # temporal transformer
+    d_model: int = 1536                 # roi_feature_channels
+    attn_num_heads: int = 4
+    attn_ffn_dim: int = 512
+    attn_dropout: float = 0.1
+    num_enc_layers: int = 3
+    roi_pos_enc_mlp: Tuple[int, int] = (512, 512)
+
+    # fusion + heads
+    latent_mlp: Tuple[int, int] = (2048, 2048)
+    fusion_mlp: Tuple[int, int] = (2048, 2048)
+    cls_mlp: Tuple[int, int] = (512, 512)
+    reg_mlp: Tuple[int, int] = (512, 512)
+    cls_dropout: float = 0.1
+    reg_dropout: float = 0.1
+    latent_dropout: float = 0.1
+    fusion_dropout: float = 0.1
+    fused_mode: str = "concat"
+    rcnn_trans: bool = False            # conv_fused reads cluster feats
+    act: str = "gelu"
+
+    # losses / targets (train_cfg)
+    cls_pos_thr: float = 0.8
+    cls_neg_thr: float = 0.2
+    occ_label_thresh: float = 0.4
+    rcnn_code_weights: Sequence[float] = (2.0, 2.0, 1.0, 1.0, 1.0, 1.0, 1.0)
+    loss_bbox_weight: float = 2.0
+    loss_cls_weight: float = 1.0
+    loss_occ_weight: float = 1.0
+
+    # optimization (cosine_2x schedule, ococcnet optimizer block)
+    base_lr: float = 1e-6
+    lr_mult: float = 100.0              # cyclic target_ratio upper
+    weight_decay: float = 0.05
+    grad_clip_norm: float = 10.0
+    max_epochs: int = 24
+
+    # point feature layout: [x y z | intensity elong yaw/pi w/10 l/10 h/10
+    #                        det_score] + roi_score appended in the head
+    num_point_feats: int = 7
+
+    @property
+    def points_dim(self) -> int:
+        return 3 + self.num_point_feats
+
+
+def tiny_config() -> OcOccNetConfig:
+    """Small shapes for tests."""
+    return OcOccNetConfig(
+        batch_size=2, reg_len=8, max_points_per_frame=64, num_occ_samples=32,
+        num_blocks=2, feat_channels=(32, 32), rel_mlp_hidden=(8, 16),
+        occ_mlp=(32, 32, 32), d_model=2 * 2 * 32, attn_ffn_dim=64,
+        latent_mlp=(64,), fusion_mlp=(64,), cls_mlp=(32,), reg_mlp=(32,),
+        roi_pos_enc_mlp=(32,), num_enc_layers=1,
+    )

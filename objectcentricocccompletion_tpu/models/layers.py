@@ -1,0 +1,86 @@
+"""Shared flax building blocks.
+
+``Mlp`` mirrors the reference ``build_mlp`` (``ops/sst/sst_ops.py:333-360``):
+hidden layers are ``Linear(bias=False) -> LayerNorm(eps) -> act -> dropout``;
+with ``is_head=True`` the final layer is a plain biased Linear.
+"""
+from __future__ import annotations
+
+from typing import Sequence
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+LN_EPS = 1e-3
+
+
+def activation(name: str):
+    return {"relu": nn.relu, "gelu": nn.gelu, "leakyrelu": nn.leaky_relu}[name]
+
+
+class Mlp(nn.Module):
+    hidden_dims: Sequence[int]
+    is_head: bool = False
+    act: str = "gelu"
+    dropout: float = 0.0
+
+    @nn.compact
+    def __call__(self, x: jax.Array, *, train: bool = False) -> jax.Array:
+        act = activation(self.act)
+        n = len(self.hidden_dims)
+        for i, c in enumerate(self.hidden_dims):
+            if i == n - 1 and self.is_head:
+                x = nn.Dense(c, use_bias=True)(x)
+            else:
+                x = nn.Dense(c, use_bias=False)(x)
+                x = nn.LayerNorm(epsilon=LN_EPS)(x)
+                x = act(x)
+                if self.dropout > 0:
+                    x = nn.Dropout(self.dropout, deterministic=not train)(x)
+        return x
+
+
+class VfeLayer(nn.Module):
+    """``DynamicVFELayerV2`` (``models/voxel_encoders/utils.py:147-190``):
+    dropout -> Linear(bias=False) -> LayerNorm -> act."""
+    out_channels: int
+    act: str = "gelu"
+    dropout: float = 0.0
+
+    @nn.compact
+    def __call__(self, x: jax.Array, *, train: bool = False) -> jax.Array:
+        if self.dropout > 0:
+            x = nn.Dropout(self.dropout, deterministic=not train)(x)
+        x = nn.Dense(self.out_channels, use_bias=False)(x)
+        x = nn.LayerNorm(epsilon=LN_EPS)(x)
+        return activation(self.act)(x)
+
+
+def sinusoidal_position_encoding(positions: jax.Array, d_model: int
+                                 ) -> jax.Array:
+    """Frame-index encoding, reference ``PositionalEncoding``
+    (``models/occ/layers.py:8-32``): [sin(p*div), cos(p*div)] concatenated
+    halves (not interleaved)."""
+    div = jnp.exp(
+        jnp.arange(0, d_model, 2, dtype=jnp.float32)
+        * (-jnp.log(10000.0) / d_model)
+    )
+    ang = positions[..., None].astype(jnp.float32) * div
+    return jnp.concatenate([jnp.sin(ang), jnp.cos(ang)], axis=-1)
+
+
+def nerf_position_encoding(xyz: jax.Array, num_freqs: int = 10,
+                           bound=(-8.0, -8.0, -4.0, 8.0, 8.0, 4.0)
+                           ) -> jax.Array:
+    """Query-point encoding, reference ``PosEncode``
+    (``models/occ/occ_base.py:26-55``): normalize to [-1, 1] by ``bound``,
+    multiply by 2^k, emit sin(pi x) then cos(pi x) over (freq, xyz) flattened
+    to 2*num_freqs*3 channels."""
+    lo = jnp.asarray(bound[:3], xyz.dtype)
+    hi = jnp.asarray(bound[3:], xyz.dtype)
+    x = (xyz - lo) / (hi - lo) * 2.0 - 1.0
+    freqs = 2.0 ** jnp.arange(num_freqs, dtype=xyz.dtype)
+    ang = jnp.pi * x[..., None, :] * freqs[:, None]  # [..., F, 3]
+    out = jnp.concatenate([jnp.sin(ang), jnp.cos(ang)], axis=-2)
+    return out.reshape(out.shape[:-2] + (2 * num_freqs * 3,))

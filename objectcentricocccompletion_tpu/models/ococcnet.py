@@ -1,0 +1,284 @@
+"""OcOccNet — tracklet box refinement + object-centric occupancy completion.
+
+TPU-native rebuild of the reference second stage:
+``TrackletDetectorOCC`` -> ``TrackletRoIHeadOCC`` -> ``OccBBoxHead`` +
+``OccAutoEncoder`` + ``OccDecoder``
+(``models/detectors/tracklet_detector_occ.py``,
+``models/roi_heads/tracklet_roi_head_occ.py``,
+``models/roi_heads/bbox_heads/ococc_bbox_head.py``,
+``models/roi_heads/bbox_heads/occ_ae_head.py``).
+
+Data model: one tracklet = ``L`` frames, each with one RoI box and at most
+``P`` points — everything dense with masks (see ``ops/roi_pool.py``). The
+reference's assigner/sampler/reorder machinery reduces to elementwise masks
+because GT alignment happens per-frame by timestamp in the data pipeline.
+
+Forward graph (cfg names refer to ``configs/ococc/ococcnet.py``):
+  1. pool points into per-frame RoIs (extra_wlh margin) -> 13-d geometry,
+  2. RoI encoder: 6 SIR blocks over [global xyz, 8 point feats, geometry]
+     -> 1536-d per-RoI observation feature,
+  3. occupancy AE encoder: 6 SIR blocks over box-local coords + boundary
+     feats + snapped voxel centers -> 1536-d local shape latent,
+  4. causal temporal transformer across the tracklet's frames (sinusoidal
+     frame encoding + MLP-encoded 7-dof RoI "box pos encoding"),
+  5. fuse: shape_latent = MLP([ae_latent ; transformer_out]) (fused_mode
+     'concat'); rcnn feature = MLP([shape_latent ; roi_encoder_out])
+     (rcnn_trans=False),
+  6. heads: IoU-soft classification, DeltaXYZWLHR box residuals, and the
+     implicit occupancy decoder conditioned on shape_latent.
+"""
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from ..configs.ococcnet_config import OcOccNetConfig
+from ..core import boxes as box_ops
+from ..core import coder
+from ..ops import roi_pool as rp
+from .layers import Mlp, sinusoidal_position_encoding
+from .occ_decoder import OccDecoder
+from .sir import SIREncoder
+from .transformer import TemporalEncoder
+
+
+class TrackletBatch(NamedTuple):
+    """One device-batch of regularized tracklets (all arrays static-shape)."""
+    points: jax.Array        # [B, L, P, 3+F] shared-frame xyz + features
+    points_mask: jax.Array   # [B, L, P] bool
+    rois: jax.Array          # [B, L, 7] per-frame proposal boxes
+    roi_scores: jax.Array    # [B, L] detector scores
+    frame_inds: jax.Array    # [B, L] int32 temporal indices (may be shifted)
+    gt_boxes: jax.Array      # [B, L, 7] per-frame GT box (ts-aligned)
+    gt_valid: jax.Array      # [B, L] bool GT exists at this frame
+    occ_points: jax.Array    # [B, K, 3] GT-box-frame occupancy samples
+    occ_labels: jax.Array    # [B, K] int {1 occupied, 0 free}
+    occ_mask: jax.Array      # [B, K] bool sample validity
+    occ_score: jax.Array     # [B] annotation confidence (label_iou)
+
+
+class OcOccNet(nn.Module):
+    cfg: OcOccNetConfig
+
+    def setup(self):
+        cfg = self.cfg
+        self.roi_encoder = SIREncoder(
+            num_blocks=cfg.num_blocks, feat_channels=cfg.feat_channels,
+            rel_mlp_hidden=cfg.rel_mlp_hidden,
+            xyz_normalizer=cfg.xyz_normalizer, geo_input=True, act=cfg.act)
+        self.ae_encoder = SIREncoder(
+            num_blocks=cfg.num_blocks, feat_channels=cfg.feat_channels,
+            rel_mlp_hidden=cfg.rel_mlp_hidden,
+            xyz_normalizer=cfg.ae_xyz_normalizer, geo_input=False,
+            act=cfg.act)
+        self.roi_pos_enc = Mlp(tuple(cfg.roi_pos_enc_mlp) + (cfg.d_model,),
+                               is_head=True, act=cfg.act)
+        self.temporal = TemporalEncoder(
+            num_layers=cfg.num_enc_layers, num_heads=cfg.attn_num_heads,
+            ffn_dim=cfg.attn_ffn_dim, attn_dropout=cfg.attn_dropout)
+        self.conv_latent = Mlp(tuple(cfg.latent_mlp) + (cfg.d_model,),
+                               is_head=True, act=cfg.act,
+                               dropout=cfg.latent_dropout)
+        self.conv_fused = Mlp(tuple(cfg.fusion_mlp) + (cfg.d_model,),
+                              is_head=True, act=cfg.act,
+                              dropout=cfg.fusion_dropout)
+        self.conv_cls = Mlp(tuple(cfg.cls_mlp) + (1,), is_head=True,
+                            act=cfg.act, dropout=cfg.cls_dropout)
+        self.conv_reg = Mlp(tuple(cfg.reg_mlp) + (coder.CODE_SIZE,),
+                            is_head=True, act=cfg.act,
+                            dropout=cfg.reg_dropout)
+        self.occ_decoder = OccDecoder(
+            mlp_dims=self.cfg.occ_mlp, num_freqs=self.cfg.pos_encode_freqs,
+            act=self.cfg.act, dropout=self.cfg.occ_dropout,
+            pos_thresh=self.cfg.occ_pos_thresh)
+
+    def __call__(self, batch: TrackletBatch, *, train: bool = False) -> dict:
+        cfg = self.cfg
+        B, L, P, _ = batch.points.shape
+        G = B * L
+
+        pts_xyz = batch.points[..., :3]
+        pts_feats = batch.points[..., 3:]
+        pool = rp.roi_pool(pts_xyz, batch.points_mask, batch.rois,
+                           cfg.extra_wlh)
+        nonempty = jnp.any(pool.mask, axis=-1)  # [B, L]
+
+        def flat(x):
+            return x.reshape((G,) + x.shape[2:])
+
+        # ---- RoI observation encoder (ococc_bbox_head.roi_encode) ----
+        roi_score_feat = jnp.broadcast_to(
+            batch.roi_scores[..., None, None], (B, L, P, 1))
+        enc_feats = jnp.concatenate([pts_feats, roi_score_feat], axis=-1)
+        f_cluster = jnp.concatenate(
+            [pool.local_xyz, pool.boundary_offset,
+             pool.is_in_margin[..., None], pool.rel_xyz], axis=-1)  # 13-d
+        _, roi_feats = self.roi_encoder(
+            flat(pts_xyz), flat(enc_feats), flat(pool.mask),
+            flat(f_cluster), train=train)
+        roi_feats = roi_feats.reshape(B, L, -1)
+        roi_feats = jnp.where(nonempty[..., None], roi_feats, 0.0)
+
+        # ---- occupancy auto-encoder (occ_ae_head.encode) ----
+        vox_centers = rp.quantize_to_voxel_centers(
+            pool.local_xyz, batch.rois[..., 3:6], cfg.ae_voxel_size)
+        ae_in = jnp.concatenate(
+            [pts_feats[..., :2], pool.boundary_offset,
+             pool.is_in_margin[..., None], vox_centers], axis=-1)  # 12-d
+        _, ae_feats = self.ae_encoder(
+            flat(pool.local_xyz), flat(ae_in), flat(pool.mask), train=train)
+        ae_feats = ae_feats.reshape(B, L, -1)
+        ae_feats = jnp.where(nonempty[..., None], ae_feats, 0.0)
+
+        # ---- temporal transformer ----
+        pos = sinusoidal_position_encoding(batch.frame_inds, cfg.d_model)
+        pos = pos + self.roi_pos_enc(batch.rois, train=train)
+        fused = self.temporal(roi_feats, pos, causal=True, train=train)
+
+        # ---- latent fusion (fused_mode='concat') ----
+        shape_latent = self.conv_latent(
+            jnp.concatenate([ae_feats, fused], axis=-1), train=train)
+
+        rcnn_in = fused if cfg.rcnn_trans else roi_feats
+        rcnn_feats = self.conv_fused(
+            jnp.concatenate([shape_latent, rcnn_in], axis=-1), train=train)
+
+        cls_logit = self.conv_cls(rcnn_feats, train=train)[..., 0]
+        bbox_pred = self.conv_reg(rcnn_feats, train=train)
+
+        return dict(
+            cls_logit=cls_logit,       # [B, L]
+            bbox_pred=bbox_pred,       # [B, L, 7]
+            shape_latent=shape_latent,  # [B, L, D]
+            ae_latent=ae_feats,        # [B, L, D]
+            nonempty=nonempty,         # [B, L]
+        )
+
+    def decode_occ(self, shape_latent: jax.Array, queries: jax.Array, *,
+                   train: bool = False) -> jax.Array:
+        """Occupancy logits for box-local ``queries`` [..., K, 3] conditioned
+        on ``shape_latent`` [..., D]."""
+        return self.occ_decoder(shape_latent, queries, train=train)
+
+
+def gt_occ_to_roi_frame(occ_points: jax.Array, gt_boxes: jax.Array,
+                        rois: jax.Array) -> jax.Array:
+    """Transform GT-box-frame occupancy samples into each RoI's local frame.
+
+    occ_points: [B, K, 3] (gravity-centered GT-box frame);
+    gt_boxes, rois: [B, L, 7]. Returns [B, L, K, 3].
+    Mirrors ``ococc_bbox_head.loss_occ`` (``ococc_bbox_head.py:680-699``).
+    """
+    pts = occ_points[:, None]  # [B, 1, K, 3]
+    ego = box_ops.local_to_global(pts, gt_boxes)       # -> ego frame
+    return box_ops.box_local_coords(ego, rois)         # -> RoI frame
+
+
+class OcOccNetWithLoss(nn.Module):
+    """Training wrapper computing the reference loss dict.
+
+    Loss semantics follow ``OccBBoxHead.loss`` / ``loss_occ``
+    (``ococc_bbox_head.py:433-811``) with globally-synced average factors
+    (the ``sync_cls/reg_avg_factor`` reduce_means become free because loss
+    is computed on the global batch under pjit).
+    """
+    cfg: OcOccNetConfig
+
+    def setup(self):
+        self.net = OcOccNet(self.cfg, name="net")
+
+    def __call__(self, batch: TrackletBatch, *, train: bool = True):
+        cfg = self.cfg
+        out = self.net(batch, train=train)
+        B, L = out["cls_logit"].shape
+        f32 = jnp.float32
+
+        iou = box_ops.aligned_iou_3d(batch.rois, batch.gt_boxes)
+        iou = jnp.where(batch.gt_valid, iou, 0.0)
+
+        # --- classification: IoU-soft labels, BCE, masked by nonempty ---
+        soft = jnp.clip((iou - cfg.cls_neg_thr)
+                        / (cfg.cls_pos_thr - cfg.cls_neg_thr), 0.0, 1.0)
+        cls_w = out["nonempty"].astype(f32)
+        bce = _bce_with_logits(out["cls_logit"], soft)
+        cls_avg = f32(B * L)
+        loss_cls = cfg.loss_cls_weight * jnp.sum(bce * cls_w) / cls_avg
+
+        # --- box regression: L1 with code weights over positive RoIs ---
+        pos = batch.gt_valid & out["nonempty"]
+        posf = pos.astype(f32)
+        num_pos = jnp.sum(posf)
+        targets = coder.encode_roi_targets(batch.rois, batch.gt_boxes)
+        code_w = jnp.asarray(cfg.rcnn_code_weights, f32)
+        l1 = jnp.abs(out["bbox_pred"] - targets) * code_w
+        loss_bbox = (cfg.loss_bbox_weight
+                     * jnp.sum(l1 * posf[..., None])
+                     / jnp.clip(num_pos, 1.0, None))
+
+        # --- occupancy completion ---
+        queries = gt_occ_to_roi_frame(batch.occ_points, batch.gt_boxes,
+                                      batch.rois)  # [B, L, K, 3]
+        occ_logits = self.net.decode_occ(out["shape_latent"], queries,
+                                         train=train)
+        occ_lab = jnp.broadcast_to(
+            (batch.occ_labels == 1)[:, None], occ_logits.shape).astype(f32)
+        conf = (batch.occ_score > cfg.occ_label_thresh).astype(f32)
+        occ_w = (posf[..., None]
+                 * conf[:, None, None]
+                 * batch.occ_mask[:, None].astype(f32))
+        occ_bce = _bce_with_logits(occ_logits, occ_lab)
+        K = occ_logits.shape[-1]
+        occ_denom = jnp.clip(num_pos * K, 1.0, None)
+        loss_occ = cfg.loss_occ_weight * jnp.sum(occ_bce * occ_w) / occ_denom
+
+        total = loss_cls + loss_bbox + loss_occ
+        metrics = _metrics(out, soft, cls_w, occ_logits, occ_lab, occ_w,
+                           num_pos)
+        losses = dict(loss_rcnn_cls=loss_cls, loss_rcnn_bbox=loss_bbox,
+                      loss_rcnn_occ=loss_occ, loss=total)
+        return total, {**losses, **metrics}
+
+    def predict(self, batch: TrackletBatch):
+        """Inference: refined boxes + scores + shape latents."""
+        out = self.net(batch, train=False)
+        boxes = coder.decode_from_rois(batch.rois, out["bbox_pred"])
+        scores = jax.nn.sigmoid(out["cls_logit"])
+        return dict(boxes=boxes, scores=scores, **out)
+
+    def decode_occ_queries(self, latent, queries):
+        return self.net.decode_occ(latent, queries, train=False)
+
+
+def _bce_with_logits(logits, targets):
+    # numerically-stable binary cross entropy with probabilistic targets
+    return jnp.maximum(logits, 0) - logits * targets + jnp.log1p(
+        jnp.exp(-jnp.abs(logits)))
+
+
+def _metrics(out, soft, cls_w, occ_logits, occ_lab, occ_w, num_pos):
+    f32 = jnp.float32
+    pred_pos = (jax.nn.sigmoid(out["cls_logit"]) > 0.5)
+    lab_pos = soft > 0.5
+    valid = cls_w > 0
+    acc = _safe_mean((pred_pos == lab_pos) & valid, valid)
+    occ_pred = jax.nn.sigmoid(occ_logits) > 0.5
+    occ_valid = occ_w > 0
+    occ_pos = occ_lab > 0.5
+    return dict(
+        num_pos_rois=num_pos,
+        cls_acc=acc,
+        occ_recall_pos=_safe_mean(occ_pred & occ_pos & occ_valid,
+                                  occ_pos & occ_valid),
+        occ_recall_neg=_safe_mean((~occ_pred) & (~occ_pos) & occ_valid,
+                                  (~occ_pos) & occ_valid),
+        occ_frac_occupied=_safe_mean(occ_pos & occ_valid, occ_valid),
+    ).copy()
+
+
+def _safe_mean(num_mask, den_mask):
+    f32 = jnp.float32
+    return (jnp.sum(num_mask.astype(f32))
+            / jnp.clip(jnp.sum(den_mask.astype(f32)), 1.0, None))

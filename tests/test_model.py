@@ -1,0 +1,148 @@
+"""OcOccNet forward/loss smoke + invariant tests (tiny config)."""
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from objectcentricocccompletion_tpu.configs import tiny_config
+from objectcentricocccompletion_tpu.models import (
+    OcOccNet, OcOccNetWithLoss, TrackletBatch)
+from objectcentricocccompletion_tpu.models.ococcnet import gt_occ_to_roi_frame
+from objectcentricocccompletion_tpu.core import boxes as B
+
+
+def make_batch(cfg, seed=0, all_points_valid=True):
+    rng = np.random.RandomState(seed)
+    Bb, L, P, K = cfg.batch_size, cfg.reg_len, cfg.max_points_per_frame, \
+        cfg.num_occ_samples
+    ctr = rng.uniform(-3, 3, (Bb, L, 3))
+    size = rng.uniform(1.5, 4.0, (Bb, L, 3))
+    yaw = rng.uniform(-np.pi, np.pi, (Bb, L, 1))
+    rois = np.concatenate([ctr, size, yaw], -1).astype(np.float32)
+    pts = np.repeat(ctr[:, :, None], P, 2) + rng.uniform(-1, 1, (Bb, L, P, 3))
+    feats = rng.rand(Bb, L, P, cfg.num_point_feats).astype(np.float32)
+    points = np.concatenate([pts, feats], -1).astype(np.float32)
+    mask = np.ones((Bb, L, P), bool) if all_points_valid else \
+        rng.rand(Bb, L, P) > 0.3
+    gt = rois + rng.uniform(-0.1, 0.1, rois.shape).astype(np.float32)
+    return TrackletBatch(
+        points=jnp.asarray(points),
+        points_mask=jnp.asarray(mask),
+        rois=jnp.asarray(rois),
+        roi_scores=jnp.asarray(rng.rand(Bb, L).astype(np.float32)),
+        frame_inds=jnp.asarray(np.tile(np.arange(L), (Bb, 1))),
+        gt_boxes=jnp.asarray(gt),
+        gt_valid=jnp.asarray(np.ones((Bb, L), bool)),
+        occ_points=jnp.asarray(
+            rng.uniform(-1.5, 1.5, (Bb, K, 3)).astype(np.float32)),
+        occ_labels=jnp.asarray(rng.randint(0, 2, (Bb, K))),
+        occ_mask=jnp.asarray(np.ones((Bb, K), bool)),
+        occ_score=jnp.asarray(np.full((Bb,), 0.9, np.float32)),
+    )
+
+
+@pytest.fixture(scope="module")
+def cfg():
+    return tiny_config()
+
+
+@pytest.fixture(scope="module")
+def variables_and_batch(cfg):
+    batch = make_batch(cfg)
+    model = OcOccNetWithLoss(cfg)
+    variables = model.init(
+        {"params": jax.random.PRNGKey(0)}, batch, train=False)
+    return model, variables, batch
+
+
+def test_forward_shapes(cfg, variables_and_batch):
+    model, variables, batch = variables_and_batch
+    total, aux = model.apply(variables, batch, train=False)
+    assert np.isfinite(float(total))
+    assert aux["loss_rcnn_cls"].shape == ()
+    assert float(aux["num_pos_rois"]) == cfg.batch_size * cfg.reg_len
+
+
+def test_grads_finite(cfg, variables_and_batch):
+    model, variables, batch = variables_and_batch
+
+    def loss_fn(params):
+        total, _ = model.apply(
+            {"params": params}, batch, train=True,
+            rngs={"dropout": jax.random.PRNGKey(1)})
+        return total
+
+    g = jax.grad(loss_fn)(variables["params"])
+    leaves = jax.tree_util.tree_leaves(g)
+    assert all(bool(jnp.isfinite(x).all()) for x in leaves)
+    # every parameter must receive gradient somewhere (no dead branches)
+    norms = [float(jnp.abs(x).sum()) for x in leaves]
+    assert sum(1 for n in norms if n == 0.0) < len(norms) * 0.1
+
+
+def test_empty_roi_features_zero(cfg):
+    """Frames with no pooled points must emit zero features and be masked
+    out of the losses (reference fsd_bbox_head.align_roi_feature_and_rois)."""
+    batch = make_batch(cfg)
+    # Move frame 0 of sample 0's points far away -> pooling mask empty.
+    pts = np.asarray(batch.points).copy()
+    pts[0, 0, :, :3] += 1000.0
+    batch = batch._replace(points=jnp.asarray(pts))
+    model = OcOccNet(cfg)
+    variables = model.init({"params": jax.random.PRNGKey(0)}, batch,
+                           train=False)
+    out = model.apply(variables, batch, train=False)
+    assert not bool(out["nonempty"][0, 0])
+    assert bool(out["nonempty"][0, 1])
+
+
+def test_masked_points_do_not_leak(cfg):
+    """Invalid points must not affect the outputs."""
+    batch = make_batch(cfg, all_points_valid=False)
+    model = OcOccNet(cfg)
+    variables = model.init({"params": jax.random.PRNGKey(0)}, batch,
+                           train=False)
+    out1 = model.apply(variables, batch, train=False)
+    pts = np.asarray(batch.points).copy()
+    m = np.asarray(batch.points_mask)
+    pts[~m] = 12345.0  # poison invalid points
+    out2 = model.apply(variables, batch._replace(points=jnp.asarray(pts)),
+                       train=False)
+    np.testing.assert_allclose(np.asarray(out1["cls_logit"]),
+                               np.asarray(out2["cls_logit"]), atol=1e-4)
+
+
+def test_causal_temporal_dependence(cfg):
+    """Future frames must not influence earlier frames' outputs
+    (causal mask, reference get_future_mask)."""
+    batch = make_batch(cfg)
+    model = OcOccNet(cfg)
+    variables = model.init({"params": jax.random.PRNGKey(0)}, batch,
+                           train=False)
+    out1 = model.apply(variables, batch, train=False)
+    # perturb the LAST frame's points
+    pts = np.asarray(batch.points).copy()
+    pts[:, -1, :, 3:] += 1.0
+    out2 = model.apply(variables, batch._replace(points=jnp.asarray(pts)),
+                       train=False)
+    L = cfg.reg_len
+    a = np.asarray(out1["cls_logit"])[:, : L - 1]
+    b = np.asarray(out2["cls_logit"])[:, : L - 1]
+    np.testing.assert_allclose(a, b, atol=1e-4)
+    assert not np.allclose(np.asarray(out1["cls_logit"])[:, -1],
+                           np.asarray(out2["cls_logit"])[:, -1], atol=1e-6)
+
+
+def test_gt_occ_transform_identity():
+    """When roi == gt box, the transform must be the identity."""
+    rng = np.random.RandomState(0)
+    gt = np.concatenate([rng.uniform(-3, 3, (2, 4, 3)),
+                         rng.uniform(1, 4, (2, 4, 3)),
+                         rng.uniform(-np.pi, np.pi, (2, 4, 1))],
+                        -1).astype(np.float32)
+    occ = rng.uniform(-1, 1, (2, 16, 3)).astype(np.float32)
+    out = gt_occ_to_roi_frame(jnp.asarray(occ), jnp.asarray(gt),
+                              jnp.asarray(gt))
+    np.testing.assert_allclose(
+        np.asarray(out), np.broadcast_to(occ[:, None], (2, 4, 16, 3)),
+        atol=1e-4)
