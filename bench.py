@@ -1,0 +1,66 @@
+"""Benchmark: OcOccNet training throughput on the local accelerator.
+
+Prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": "tracklets/sec", "vs_baseline": N}
+
+Baseline note: the reference publishes no throughput numbers (SURVEY.md
+section 6). ``A100_EST_TRACKLETS_PER_SEC`` is an engineering estimate of the
+reference torch pipeline on one A100: bs=4 tracklets/GPU and a typical
+0.35-0.5 s/iter for this model family (dynamic_point_pool + 12 scatter-max
+SIR blocks + 3-layer MHA + 65k-query implicit decoder, fp32 DDP) gives
+~8-11 tracklets/s; we use 10. The BASELINE.json target is >= 2x this per
+chip.
+"""
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+A100_EST_TRACKLETS_PER_SEC = 10.0
+
+
+def main():
+    import jax
+
+    from objectcentricocccompletion_tpu.configs import OcOccNetConfig
+    from objectcentricocccompletion_tpu.data.synthetic import synthetic_batch
+    from objectcentricocccompletion_tpu.parallel.train import (
+        create_train_state, make_mesh, make_train_step, shard_batch)
+
+    cfg = OcOccNetConfig()
+    mesh = make_mesh(jax.devices())
+    n_dev = mesh.devices.size
+    global_batch = cfg.batch_size * n_dev
+
+    batch = synthetic_batch(cfg, batch_size=global_batch, seed=0)
+    model, state, tx, _ = create_train_state(
+        cfg, jax.random.PRNGKey(0), batch, total_steps=1000)
+    step = make_train_step(model, tx, mesh)
+    batch = shard_batch(batch, mesh)
+    rng = jax.random.PRNGKey(1)
+
+    # warmup / compile
+    state, aux = step(state, batch, rng)
+    jax.block_until_ready(aux["loss"])
+
+    iters = int(os.environ.get("BENCH_ITERS", "20"))
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        state, aux = step(state, batch, rng)
+    jax.block_until_ready(aux["loss"])
+    dt = (time.perf_counter() - t0) / iters
+
+    tracklets_per_sec = global_batch / dt
+    per_chip = tracklets_per_sec / n_dev
+    print(json.dumps({
+        "metric": "ococcnet_train_throughput",
+        "value": round(tracklets_per_sec, 3),
+        "unit": "tracklets/sec",
+        "vs_baseline": round(per_chip / A100_EST_TRACKLETS_PER_SEC, 3),
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,346 @@
+"""Host-side tracklet dataset + training pipeline (pure numpy).
+
+Reads the reference's on-disk formats bit-compatibly
+(``datasets/waymo_tracklet_dataset.py:32-230``):
+  * tracklet proposals pkl — list of dump-format tuples
+    ``(segment_name, id, type, in_world, [boxes [1,7]], ts_list, score_list,
+    num_pts_in_boxes)`` (``lidar_tracklet.py:130-161``),
+  * GT candidates pkl — per-proposal list of the same tuples,
+  * poses pkl — dict ``ts -> [4,4]`` ego->world,
+  * per-tracklet points ``<proposals>_database/<segment>--<id>.npy`` — object
+    array of per-frame ``[Ni, 6]`` points,
+  * occupancy GT ``<occ_root>/<segment>/<trk_id>.npz`` with ``occ[X,Y,Z]``
+    int32 in {0 unknown, 1 occupied, 2 free}.
+
+The pipeline fuses the reference transform chain
+(``configs/ococc/ococcnet.py:183-256``): load/cap points, regularize to
+reg_len, pose-transform to the middle frame, box noise, point decoration,
+flips, global rot/scale/trans, range filter — and additionally performs GT
+candidate selection + per-timestamp GT alignment (the reference does this
+on-GPU in ``TrackletRoIHeadOCC._assign_and_sample``; moving it here makes
+the device graph fully static) and balanced occupancy sampling
+(``RandomSampleOccPoints``). Output is one dense ``TrackletBatch`` sample.
+"""
+from __future__ import annotations
+
+import dataclasses
+import os
+import pickle
+from typing import Sequence
+
+import numpy as np
+
+from ..configs.ococcnet_config import OcOccNetConfig
+from . import np_geometry as npg
+
+WAYMO_TYPE_NAMES = {1: "Car", 2: "Pedestrian", 3: "Sign", 4: "Cyclist"}
+POINT_RANGE = (-204.7, -204.7, -3.99, 204.7, 204.7, 7.99)
+
+
+@dataclasses.dataclass
+class TrackletRecord:
+    segment_name: str
+    id: str
+    type: int                     # waymo type id
+    in_world: bool
+    boxes: np.ndarray             # [T, 7] float32, per-frame ego coords
+    ts: list                      # [T] timestamps (int)
+    scores: np.ndarray            # [T] float32
+    num_pts: np.ndarray | None    # [T] int
+
+    @classmethod
+    def from_dump(cls, tup) -> "TrackletRecord":
+        seg, tid, typ, in_world, boxes, ts, scores, num_pts = tup
+        boxes = (np.concatenate([np.asarray(b).reshape(1, -1) for b in boxes],
+                                0).astype(np.float32)
+                 if len(boxes) else np.zeros((0, 7), np.float32))
+        return cls(seg, tid, int(typ), bool(in_world), boxes[:, :7], list(ts),
+                   np.asarray(scores, np.float32),
+                   None if num_pts is None else np.asarray(num_pts))
+
+    def to_dump(self):
+        return (self.segment_name, self.id, self.type, self.in_world,
+                [b.reshape(1, -1) for b in self.boxes], list(self.ts),
+                list(self.scores), None if self.num_pts is None
+                else list(self.num_pts))
+
+    def __len__(self):
+        return len(self.ts)
+
+
+def _load_pkl(path):
+    with open(path, "rb") as f:
+        return pickle.load(f)
+
+
+def pose_transform_boxes(boxes: np.ndarray, src_poses: np.ndarray,
+                         tgt_pose_inv: np.ndarray) -> np.ndarray:
+    """Move per-frame ego boxes into a shared target frame
+    (``lidar_tracklet.frame_transform``, heading via (sin, cos) vector)."""
+    mm = tgt_pose_inv[None] @ src_poses  # [T, 4, 4]
+    ctr_h = np.concatenate(
+        [boxes[:, :3], np.ones((len(boxes), 1), boxes.dtype)], 1)
+    ctr = np.einsum("tij,tj->ti", mm, ctr_h)[:, :3]
+    yaw = boxes[:, 6]
+    heading = np.stack([np.sin(yaw), np.cos(yaw), np.zeros_like(yaw)], -1)
+    h = np.einsum("tij,tj->ti", mm[:, :3, :3], heading)
+    new_yaw = np.arctan2(h[:, 0], h[:, 1])
+    return np.concatenate(
+        [ctr, boxes[:, 3:6], new_yaw[:, None]], 1).astype(np.float32)
+
+
+def pose_transform_points(xyz: np.ndarray, src_pose: np.ndarray,
+                          tgt_pose_inv: np.ndarray) -> np.ndarray:
+    mm = tgt_pose_inv @ src_pose
+    return xyz @ mm[:3, :3].T + mm[:3, 3]
+
+
+class TrackletDataset:
+    """Reference-format tracklet dataset producing dense numpy samples."""
+
+    def __init__(self, proposals_file: str, gt_candidates_file: str,
+                 pose_file: str, occ_anno_root: str | None,
+                 cfg: OcOccNetConfig,
+                 class_names: Sequence[str] = ("Car",),
+                 min_tracklet_points: int = 100,
+                 min_tracklet_length: int | None = None,
+                 training: bool = True, load_interval: int = 1):
+        self.cfg = cfg
+        self.training = training
+        self.occ_anno_root = occ_anno_root
+        self.class_names = list(class_names)
+        min_len = (min_tracklet_length if min_tracklet_length is not None
+                   else (cfg.reg_len if training else 1))
+
+        infos = _load_pkl(proposals_file)
+        cands = _load_pkl(gt_candidates_file)
+        assert len(infos) == len(cands), (len(infos), len(cands))
+        pts_dir = proposals_file.replace(".pkl", "_database")
+
+        self.records, self.candidates, self.pts_files = [], [], []
+        for info, cand in zip(infos, cands):
+            rec = TrackletRecord.from_dump(info)
+            # filters mirror WaymoTrackletDataset(+WithOcc).__init__
+            if rec.num_pts is not None and rec.num_pts.sum() < \
+                    min_tracklet_points:
+                continue
+            if rec.type != 1:   # vehicles only, matching `e[2] == 1` filter
+                continue
+            if len(rec) < min_len:
+                continue
+            self.records.append(rec)
+            self.candidates.append(
+                [TrackletRecord.from_dump(c) for c in cand])
+            self.pts_files.append(os.path.join(
+                pts_dir, f"{rec.segment_name}--{rec.id}.npy"))
+        self.records = self.records[::load_interval]
+        self.candidates = self.candidates[::load_interval]
+        self.pts_files = self.pts_files[::load_interval]
+
+        self.poses = {k: np.asarray(v, np.float64)
+                      for k, v in _load_pkl(pose_file).items()}
+
+    def __len__(self):
+        return len(self.records)
+
+    # ------------------------------------------------------------------
+    def select_candidate(self, rec: TrackletRecord,
+                         cands: list[TrackletRecord],
+                         thresh: float = 0.5) -> int:
+        """argmax over candidates of #frames with aligned IoU > thresh
+        (``tracklet_roi_head_occ.py:993-1027``). Returns -1 if empty."""
+        if not cands:
+            return -1
+        best, best_n = -1, -1
+        ts_idx = {t: i for i, t in enumerate(rec.ts)}
+        for ci, cand in enumerate(cands):
+            common = [(ts_idx[t], j) for j, t in enumerate(cand.ts)
+                      if t in ts_idx]
+            n = 0
+            if common:
+                ii = np.asarray([c[0] for c in common])
+                jj = np.asarray([c[1] for c in common])
+                ious = npg.aligned_iou_3d(rec.boxes[ii], cand.boxes[jj])
+                n = int((ious > thresh).sum())
+            if n > best_n:
+                best, best_n = ci, n
+        return best
+
+    def sample_occ(self, segment: str, trk_id: str, rng: np.random.RandomState
+                   ) -> tuple[np.ndarray, np.ndarray, float]:
+        """Load the occ grid and draw balanced occupied/free voxel-center
+        samples in the grid's gravity-centered frame
+        (``RandomSampleOccPoints``, balance_sample path)."""
+        K = self.cfg.num_occ_samples
+        path = (os.path.join(self.occ_anno_root, segment, f"{trk_id}.npz")
+                if self.occ_anno_root else None)
+        empty = (np.zeros((K, 3), np.float32), np.zeros((K,), np.int32), 0.0)
+        if path is None or not os.path.exists(path):
+            return empty
+        try:
+            occ = np.load(path)["occ"]
+        except Exception:
+            return empty
+        vs = self.cfg.ae_voxel_size
+        dims = np.asarray(occ.shape)
+        size = dims * vs
+        flat = occ.reshape(-1)
+        known = flat != 0
+        if not known.any():
+            return empty
+        idx = np.nonzero(known)[0]
+        vals = flat[idx]
+        pos_idx = idx[vals == 1]
+        neg_idx = idx[vals != 1]
+        if len(pos_idx) == 0 or len(neg_idx) == 0:
+            sel = rng.choice(idx, K, replace=len(idx) < K)
+            score = 0.0
+        else:
+            npos = K // 2
+            sel = np.concatenate([
+                rng.choice(pos_idx, npos, replace=len(pos_idx) < npos),
+                rng.choice(neg_idx, K - npos,
+                           replace=len(neg_idx) < (K - npos))])
+            score = 1.0   # gt_anno_occ path: label_iou = 1.0
+        coors = np.stack(np.unravel_index(sel, occ.shape), -1)
+        centers = (coors + 0.5) * vs - size / 2
+        labels = (flat[sel] == 1).astype(np.int32)
+        return centers.astype(np.float32), labels, score
+
+    # ------------------------------------------------------------------
+    def build_sample(self, index: int, rng: np.random.RandomState) -> dict:
+        cfg = self.cfg
+        rec = self.records[index]
+        cands = self.candidates[index]
+        L, P, K = cfg.reg_len, cfg.max_points_per_frame, cfg.num_occ_samples
+
+        points_list = np.load(self.pts_files[index], allow_pickle=True)
+        assert len(points_list) == len(rec), "points/boxes length mismatch"
+        T = len(rec)
+
+        # --- occupancy GT (sampled in GT-grid frame, before any aug) ---
+        ci = self.select_candidate(rec, cands)
+        if ci >= 0:
+            gt_rec = cands[ci]
+            occ_pts, occ_lab, occ_score = self.sample_occ(
+                gt_rec.segment_name, gt_rec.id, rng)
+        else:
+            gt_rec = None
+            occ_pts = np.zeros((K, 3), np.float32)
+            occ_lab = np.zeros((K,), np.int32)
+            occ_score = 0.0
+
+        # --- regularize to L frames (TrackletRegularization) ---
+        # Train: random L-frame crop (pad short tracklets by repeating the
+        # last frame, like the reference). Test: keep the full tracklet; the
+        # eval harness pads to a static length bucket afterwards.
+        if self.training:
+            if T > L:
+                head = rng.randint(0, T - L + 1)
+                frames = list(range(head, head + L))
+            else:
+                frames = list(range(T)) + [T - 1] * (L - T)
+        else:
+            frames = list(range(T))
+
+        boxes = rec.boxes[frames]
+        scores = rec.scores[frames]
+        ts = [rec.ts[f] for f in frames]
+        poses = np.stack([self.poses[t] for t in ts], 0)
+        raw_pts = [np.asarray(points_list[f], np.float32)[:, :5]
+                   for f in frames]
+
+        Lf = len(frames)
+
+        # --- pose transform into the middle frame (TrackletPoseTransform) ---
+        center_pose = poses[Lf // 2]
+        inv = np.linalg.inv(center_pose)
+        boxes = pose_transform_boxes(boxes, poses, inv)
+        pts = []
+        for i, p in enumerate(raw_pts):
+            q = p.copy()
+            q[:, :3] = pose_transform_points(p[:, :3], poses[i], inv)
+            pts.append(q)
+
+        gt_boxes = np.zeros((Lf, 7), np.float32)
+        gt_valid = np.zeros((Lf,), bool)
+        if gt_rec is not None and len(gt_rec):
+            gt_idx = {t: i for i, t in enumerate(gt_rec.ts)}
+            gt_poses = np.stack([self.poses[t] for t in gt_rec.ts], 0)
+            gt_all = pose_transform_boxes(gt_rec.boxes, gt_poses, inv)
+            for i, t in enumerate(ts):
+                if t in gt_idx:
+                    gt_boxes[i] = gt_all[gt_idx[t]]
+                    gt_valid[i] = True
+
+        # --- proposal noise (TrackletNoise, per-frame iid uniform) ---
+        if self.training:
+            boxes = boxes.copy()
+            boxes[:, 0:3] += rng.uniform(-1, 1, (Lf, 3)) * [0.2, 0.2, 0.1]
+            boxes[:, 3:6] += rng.uniform(-1, 1, (Lf, 3)) * [0.2, 0.2, 0.1]
+            boxes[:, 6] += rng.uniform(-0.2, 0.2, Lf)
+
+        # --- decoration (PointDecoration: yaw, size, score) + pad to P ---
+        points = np.zeros((Lf, P, 3 + cfg.num_point_feats), np.float32)
+        mask = np.zeros((Lf, P), bool)
+        for i, p in enumerate(pts):
+            if len(p) > P:
+                p = p[rng.permutation(len(p))[:P]]
+            n = len(p)
+            points[i, :n, :3] = p[:, :3]
+            points[i, :n, 3:5] = p[:, 3:5]
+            points[i, :n, 5] = boxes[i, 6] / np.pi
+            points[i, :n, 6:9] = boxes[i, 3:6] / 10.0
+            points[i, :n, 9] = scores[i]
+            mask[i, :n] = True
+
+        # --- global flips / rot / scale / trans (train only) ---
+        if self.training:
+            if rng.rand() < 0.5:   # horizontal: y -> -y, yaw -> pi - yaw
+                points[..., 1] *= -1
+                for b in (boxes, gt_boxes):
+                    b[:, 1] *= -1
+                    b[:, 6] = np.pi - b[:, 6]
+            if rng.rand() < 0.5:   # vertical: x -> -x, yaw -> -yaw
+                points[..., 0] *= -1
+                for b in (boxes, gt_boxes):
+                    b[:, 0] *= -1
+                    b[:, 6] = -b[:, 6]
+            ang = rng.uniform(-np.pi / 4, np.pi / 4)
+            sc = rng.uniform(0.95, 1.05)
+            tr = np.array([0, 0, rng.normal(0, 0.2)], np.float32)
+            points[..., :3] = npg.rotate_z(points[..., :3],
+                                           np.full(points.shape[:2], ang))
+            for b in (boxes, gt_boxes):
+                b[:, :3] = npg.rotate_z(b[None, :, :3],
+                                        np.full((1, Lf), ang))[0]
+                b[:, 6] += ang
+                b[:, :6] *= sc
+                b[:, :3] += tr
+            points[..., :3] *= sc
+            points[..., :3] += tr
+
+        # --- range filter ---
+        lo = np.asarray(POINT_RANGE[:3])
+        hi = np.asarray(POINT_RANGE[3:])
+        in_range = ((points[..., :3] >= lo) & (points[..., :3] <= hi)).all(-1)
+        mask &= in_range
+
+        # --- frame indices (random_shift_frame_inds) ---
+        if self.training:
+            shift = rng.randint(0, cfg.max_frame_ind - Lf + 1)
+        else:
+            shift = 0
+        frame_inds = np.arange(Lf, dtype=np.int32) + shift
+
+        return dict(
+            points=points, points_mask=mask,
+            rois=boxes.astype(np.float32),
+            roi_scores=scores.astype(np.float32),
+            frame_inds=frame_inds,
+            gt_boxes=gt_boxes, gt_valid=gt_valid,
+            occ_points=occ_pts, occ_labels=occ_lab,
+            occ_mask=np.ones((K,), bool),
+            occ_score=np.float32(occ_score),
+            meta=dict(segment=rec.segment_name, id=rec.id, ts=ts),
+        )

@@ -1,0 +1,177 @@
+"""End-to-end evaluation driver: inference over a test TrackletDataset,
+box writeback to per-frame ego coordinates, Waymo ``.bin`` export, and
+occupancy IoU — the TPU-native equivalent of
+``tools/test.py`` + ``TrackletRoIHeadOCC.simple_test``
+(``tracklet_roi_head_occ.py:492-610``).
+
+Tracklets have variable length at test (up to ~200 frames); frames are
+padded to a small set of static length buckets so only a handful of XLA
+compilations are needed for the whole validation set.
+"""
+from __future__ import annotations
+
+import os
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from ..configs.ococcnet_config import OcOccNetConfig
+from ..data.tracklet_dataset import (TrackletDataset, pose_transform_boxes)
+from ..models.ococcnet import OcOccNetWithLoss, TrackletBatch
+from . import occ_iou as occ_iou_mod
+from .waymo_bin import tracklets_to_objects, write_bin
+
+LENGTH_BUCKETS = (32, 64, 128, 224)
+MAX_OCC_QUERIES = 16384
+
+
+def pad_to_bucket(sample: dict, cfg: OcOccNetConfig) -> tuple[dict, int]:
+    """Pad a variable-length eval sample to a static length bucket by
+    repeating the last frame (mirrors TrackletRegularization padding)."""
+    T = sample["rois"].shape[0]
+    L = next((b for b in LENGTH_BUCKETS if b >= T), LENGTH_BUCKETS[-1])
+    if T > L:   # truncate over-long tracklets to the largest bucket
+        sample = {k: (v[:L] if isinstance(v, np.ndarray)
+                      and v.shape[:1] == (T,) else v)
+                  for k, v in sample.items()}
+        return sample, L
+    if T == L:
+        return sample, T
+    pad = L - T
+
+    def pad_frames(x, value=None):
+        rep = np.repeat(x[-1:], pad, axis=0) if value is None else \
+            np.full((pad,) + x.shape[1:], value, x.dtype)
+        return np.concatenate([x, rep], 0)
+
+    out = dict(sample)
+    out["points"] = pad_frames(sample["points"])
+    out["points_mask"] = pad_frames(sample["points_mask"], value=False)
+    out["rois"] = pad_frames(sample["rois"])
+    out["roi_scores"] = pad_frames(sample["roi_scores"])
+    out["gt_boxes"] = pad_frames(sample["gt_boxes"])
+    out["gt_valid"] = pad_frames(sample["gt_valid"], value=False)
+    last = sample["frame_inds"][-1]
+    out["frame_inds"] = np.concatenate(
+        [sample["frame_inds"], last + 1 + np.arange(pad, dtype=np.int32)])
+    return out, T
+
+
+class Evaluator:
+    def __init__(self, model: OcOccNetWithLoss, params, dataset: TrackletDataset,
+                 cfg: OcOccNetConfig, occ_label_thresh: float | None = None):
+        self.model = model
+        self.params = params
+        self.ds = dataset
+        self.cfg = cfg
+        self.occ_label_thresh = (occ_label_thresh if occ_label_thresh
+                                 is not None else cfg.occ_label_thresh)
+        self._predict = {}
+        self._occ_eval = {}
+
+    def _predict_fn(self, L: int):
+        if L not in self._predict:
+            def fn(params, batch):
+                return self.model.apply({"params": params}, batch,
+                                        method=self.model.predict)
+            self._predict[L] = jax.jit(fn)
+        return self._predict[L]
+
+    def _occ_fn(self, L: int):
+        if L not in self._occ_eval:
+            def fn(params, latent, rois, gt_boxes, gt_valid, pts, lab, msk):
+                def decode(lat, q):
+                    return self.model.apply(
+                        {"params": params}, lat, q,
+                        method=self.model.decode_occ_queries)
+                return occ_iou_mod.occ_iou_per_frame(
+                    decode, latent, rois, gt_boxes, gt_valid, pts, lab, msk,
+                    self.cfg.occ_pos_thresh)
+            self._occ_eval[L] = jax.jit(fn)
+        return self._occ_eval[L]
+
+    def run(self, out_dir: str, max_tracklets: int | None = None,
+            eval_occ: bool = True) -> dict:
+        os.makedirs(out_dir, exist_ok=True)
+        rng = np.random.RandomState(0)
+        acc = occ_iou_mod.OccIoUAccumulator()
+        out_tracklets = []
+        n = len(self.ds) if max_tracklets is None else min(
+            max_tracklets, len(self.ds))
+
+        for i in range(n):
+            rec = self.ds.records[i]
+            sample = self.ds.build_sample(i, rng)
+            padded, T = pad_to_bucket(sample, self.cfg)
+            batch = TrackletBatch(
+                points=jnp.asarray(padded["points"][None]),
+                points_mask=jnp.asarray(padded["points_mask"][None]),
+                rois=jnp.asarray(padded["rois"][None]),
+                roi_scores=jnp.asarray(padded["roi_scores"][None]),
+                frame_inds=jnp.asarray(padded["frame_inds"][None]),
+                gt_boxes=jnp.asarray(padded["gt_boxes"][None]),
+                gt_valid=jnp.asarray(padded["gt_valid"][None]),
+                occ_points=jnp.asarray(padded["occ_points"][None]),
+                occ_labels=jnp.asarray(padded["occ_labels"][None]),
+                occ_mask=jnp.asarray(padded["occ_mask"][None]),
+                occ_score=jnp.asarray(padded["occ_score"][None]),
+            )
+            L = batch.rois.shape[1]
+            pred = self._predict_fn(L)(self.params, batch)
+
+            boxes = np.asarray(pred["boxes"][0])[:T]
+            scores = np.asarray(pred["scores"][0])[:T]
+            nonempty = np.asarray(pred["nonempty"][0])[:T]
+            # keep original proposal where the RoI pooled no points
+            boxes = np.where(nonempty[:, None], boxes, padded["rois"][:T])
+            scores = np.where(nonempty, scores, padded["roi_scores"][:T])
+
+            # writeback: shared frame -> per-frame ego (shared2ego)
+            ts = sample["meta"]["ts"][:T]
+            poses = np.stack([self.ds.poses[t] for t in ts], 0)
+            center_pose = poses[len(poses) // 2]
+            ego_boxes = np.stack([
+                pose_transform_boxes(boxes[j:j + 1],
+                                     center_pose[None],
+                                     np.linalg.inv(poses[j]))[0]
+                for j in range(T)], 0)
+            out_tracklets.append(dict(
+                segment_name=rec.segment_name, id=rec.id, type=0,
+                boxes=ego_boxes, scores=scores, ts=ts))
+
+            if eval_occ:
+                self._eval_occ_one(i, rec, padded, pred, T, acc)
+
+        bin_path = os.path.join(out_dir, "results.bin")
+        write_bin(tracklets_to_objects(out_tracklets, self.ds.class_names),
+                  bin_path)
+        metrics = acc.summary() if eval_occ else {}
+        metrics["num_tracklets"] = n
+        metrics["results_bin"] = bin_path
+        return metrics
+
+    def _eval_occ_one(self, i, rec, padded, pred, T, acc):
+        ci = self.ds.select_candidate(rec, self.ds.candidates[i])
+        if ci < 0:
+            return
+        gt_rec = self.ds.candidates[i][ci]
+        occ_path = os.path.join(self.ds.occ_anno_root, gt_rec.segment_name,
+                                f"{gt_rec.id}.npz")
+        if not os.path.exists(occ_path):
+            return
+        if padded["occ_score"] < self.occ_label_thresh:
+            return
+        pts, lab, msk = occ_iou_mod.load_full_occ_queries(
+            occ_path, self.cfg.ae_voxel_size, MAX_OCC_QUERIES)
+        L = padded["rois"].shape[0]
+        # refined rois for occ decode (reference uses the ORIGINAL rois for
+        # the occ frame at test, tracklet_roi_head_occ.py:399 occ_rois=rois)
+        inter, union = self._occ_fn(L)(
+            self.params, pred["shape_latent"][0], jnp.asarray(padded["rois"]),
+            jnp.asarray(padded["gt_boxes"]), jnp.asarray(padded["gt_valid"]),
+            jnp.asarray(pts), jnp.asarray(lab), jnp.asarray(msk))
+        gt_vols = padded["gt_boxes"][:, 3:6].prod(-1)
+        valid = padded["gt_valid"].copy()
+        valid[T:] = False
+        acc.add_tracklet(np.asarray(inter), np.asarray(union), gt_vols, valid)

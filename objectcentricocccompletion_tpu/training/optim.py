@@ -1,0 +1,62 @@
+"""Optimizer and LR schedule.
+
+Mirrors the reference training recipe (``configs/_base_/schedules/cosine_2x.py``
+with the ``configs/ococc/ococcnet.py`` lr override): AdamW(0.9, 0.999),
+weight_decay 0.05 with no decay on norm parameters, global-norm grad clip 10,
+and mmcv's one-cycle "cyclic" LR — cosine ramp base_lr -> 100x over the first
+10% of steps, then cosine anneal to 100x * 1e-3 * base_lr.
+"""
+from __future__ import annotations
+
+import jax.numpy as jnp
+import optax
+
+
+def cyclic_cosine_schedule(base_lr: float, total_steps: int,
+                           peak_ratio: float = 100.0,
+                           end_ratio: float = 1e-3,
+                           step_ratio_up: float = 0.1):
+    up_steps = max(int(total_steps * step_ratio_up), 1)
+    peak = base_lr * peak_ratio
+    end = peak * end_ratio
+
+    def cos_seg(t, lo, hi):
+        # cosine interpolation from lo (t=0) to hi (t=1)
+        return hi + (lo - hi) * 0.5 * (1 + jnp.cos(jnp.pi * t))
+
+    def schedule(step):
+        step = jnp.asarray(step, jnp.float32)
+        t_up = jnp.clip(step / up_steps, 0.0, 1.0)
+        t_down = jnp.clip((step - up_steps) / max(total_steps - up_steps, 1),
+                          0.0, 1.0)
+        return jnp.where(step < up_steps,
+                         cos_seg(t_up, base_lr, peak),
+                         cos_seg(t_down, peak, end))
+
+    return schedule
+
+
+def _no_decay_mask(params):
+    """True where weight decay applies: skip LayerNorm scales and biases
+    (reference paramwise_cfg custom_keys 'norm' decay_mult=0)."""
+    def mask_fn(path, leaf):
+        names = [getattr(p, "key", str(p)) for p in path]
+        in_norm = any("LayerNorm" in n or "norm" in n.lower() for n in names)
+        is_bias = names and names[-1] == "bias"
+        return not (in_norm or is_bias)
+
+    import jax
+    return jax.tree_util.tree_map_with_path(mask_fn, params)
+
+
+def make_optimizer(base_lr: float, total_steps: int,
+                   weight_decay: float = 0.05, grad_clip: float = 10.0,
+                   peak_ratio: float = 100.0):
+    schedule = cyclic_cosine_schedule(base_lr, total_steps,
+                                      peak_ratio=peak_ratio)
+    tx = optax.chain(
+        optax.clip_by_global_norm(grad_clip),
+        optax.adamw(schedule, b1=0.9, b2=0.999, weight_decay=weight_decay,
+                    mask=_no_decay_mask),
+    )
+    return tx, schedule

@@ -1,0 +1,67 @@
+"""Sharded training: the full train step must compile and run on a virtual
+8-device mesh, losses must decrease on a fixed synthetic batch, and the
+sharded result must match single-device execution."""
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from objectcentricocccompletion_tpu.configs import tiny_config
+from objectcentricocccompletion_tpu.data.synthetic import synthetic_batch
+from objectcentricocccompletion_tpu.parallel.train import (
+    create_train_state, make_mesh, make_train_step, shard_batch)
+from objectcentricocccompletion_tpu.training.optim import (
+    cyclic_cosine_schedule)
+
+
+def test_schedule_shape():
+    sch = cyclic_cosine_schedule(1e-6, 1000)
+    assert abs(float(sch(0)) - 1e-6) < 1e-12
+    assert abs(float(sch(100)) - 1e-4) < 1e-8      # peak at 10%
+    assert float(sch(1000)) < 1.1e-7               # annealed to 1e-7
+    assert float(sch(50)) > float(sch(0))
+
+
+def test_train_step_8dev_loss_decreases():
+    cfg = tiny_config()
+    mesh = make_mesh()
+    assert mesh.devices.size == 8
+    batch = synthetic_batch(cfg, batch_size=8, seed=0)
+    model, state, tx, _ = create_train_state(
+        cfg, jax.random.PRNGKey(0), batch, total_steps=100)
+    step = make_train_step(model, tx, mesh)
+    batch = shard_batch(batch, mesh)
+    rng = jax.random.PRNGKey(1)
+
+    losses = []
+    for _ in range(8):
+        state, aux = step(state, batch, rng)
+        losses.append(float(aux["loss"]))
+    assert np.isfinite(losses).all()
+    assert losses[-1] < losses[0], losses
+    assert float(aux["grad_norm"]) > 0
+
+
+def test_sharded_matches_single_device():
+    cfg = tiny_config()
+    batch = synthetic_batch(cfg, batch_size=8, seed=3)
+    # donate_argnums consumes the state, so build one per mesh (same seed ->
+    # identical init).
+    model, state_a, tx, _ = create_train_state(
+        cfg, jax.random.PRNGKey(0), batch, total_steps=100)
+    _, state_b, _, _ = create_train_state(
+        cfg, jax.random.PRNGKey(0), batch, total_steps=100)
+
+    mesh8 = make_mesh(jax.devices())
+    mesh1 = make_mesh(jax.devices()[:1])
+    step8 = make_train_step(model, tx, mesh8)
+    step1 = make_train_step(model, tx, mesh1)
+    rng = jax.random.PRNGKey(1)
+
+    _, aux8 = step8(state_a, shard_batch(batch, mesh8), rng)
+    _, aux1 = step1(state_b, shard_batch(batch, mesh1), rng)
+    # dropout rngs differ per-position only via fold_in(step) -> identical
+    np.testing.assert_allclose(float(aux8["loss"]), float(aux1["loss"]),
+                               rtol=2e-4)
+    np.testing.assert_allclose(float(aux8["grad_norm"]),
+                               float(aux1["grad_norm"]), rtol=2e-3)
