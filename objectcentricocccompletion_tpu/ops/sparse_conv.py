@@ -1,0 +1,171 @@
+"""Submanifold / strided sparse 3D convolution — gather-GEMM formulation.
+
+TPU-native replacement for spconv 2.x (``SubMConv3d``/``SparseConv3d``, used
+by the reference's ``SparseEncoder`` (CenterPoint) and ``SimpleSparseUNet``
+(FSD/CTRL); see ``ops/spconv`` + ``overwrite_spconv/write_spconv2.py``).
+
+Instead of CUDA rule tables + gather-scatter GEMM, neighbor lookup is a
+binary search over sorted linearized voxel keys (static shapes, XLA-friendly)
+and the conv is K=27 gathers feeding one batched ``[K, V, Cin] x
+[K, Cin, Cout]`` einsum on the MXU. Missing neighbors gather zeros, matching
+sparse-conv semantics exactly.
+
+All buffers are padded to a static ``max_voxels``; validity masks flow
+through. This is the "bucketed gather -> dense GEMM" design called out in
+SURVEY.md section 7 step 6.
+"""
+from __future__ import annotations
+
+from typing import NamedTuple, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+class SparseGrid(NamedTuple):
+    """A set of active voxels with a search structure."""
+    coords: jax.Array        # [V, 3] int32 (x, y, z)
+    valid: jax.Array         # [V] bool
+    sorted_keys: jax.Array   # [V] int64 (invalid -> +inf key)
+    sorted_to_slot: jax.Array  # [V] int32: position in coords for sorted key
+    grid_shape: tuple        # static (gx, gy, gz)
+
+
+def _keys(coords: jax.Array, valid: jax.Array, grid_shape) -> jax.Array:
+    gx, gy, gz = grid_shape
+    # int32 linearized keys: every realistic LiDAR grid fits (e.g. 4096 x
+    # 4096 x 120 = 2.01e9 < 2^31); guard against silent overflow.
+    assert int(gx) * int(gy) * int(gz) + 1 < 2**31, (
+        f"voxel grid {grid_shape} overflows int32 keys")
+    key = (coords[:, 0].astype(jnp.int32) * (gy * gz)
+           + coords[:, 1].astype(jnp.int32) * gz
+           + coords[:, 2].astype(jnp.int32))
+    return jnp.where(valid, key, jnp.int32(gx) * gy * gz + 1)
+
+
+def build_grid(coords: jax.Array, valid: jax.Array,
+               grid_shape: Sequence[int]) -> SparseGrid:
+    grid_shape = tuple(int(g) for g in grid_shape)
+    key = _keys(coords, valid, grid_shape)
+    order = jnp.argsort(key)
+    return SparseGrid(coords, valid, key[order], order.astype(jnp.int32),
+                      grid_shape)
+
+
+def lookup(grid: SparseGrid, query_coords: jax.Array,
+           query_valid: jax.Array) -> jax.Array:
+    """Index (into grid.coords) of each query coord, or -1 if absent."""
+    gx, gy, gz = grid.grid_shape
+    in_bounds = jnp.all(
+        (query_coords >= 0)
+        & (query_coords < jnp.asarray([gx, gy, gz], jnp.int32)), axis=-1)
+    qv = query_valid & in_bounds
+    qkey = _keys(query_coords, qv, grid.grid_shape)
+    pos = jnp.searchsorted(grid.sorted_keys, qkey)
+    pos = jnp.clip(pos, 0, grid.sorted_keys.shape[0] - 1)
+    hit = (grid.sorted_keys[pos] == qkey) & qv
+    slot = grid.sorted_to_slot[pos]
+    return jnp.where(hit, slot, -1)
+
+
+def kernel_offsets(ksize: int | Sequence[int]) -> np.ndarray:
+    if isinstance(ksize, int):
+        ksize = (ksize,) * 3
+    rr = [np.arange(k) - k // 2 for k in ksize]
+    return np.stack(np.meshgrid(*rr, indexing="ij"), -1).reshape(-1, 3)
+
+
+def neighbor_table(grid: SparseGrid, out_coords: jax.Array,
+                   out_valid: jax.Array, offsets: np.ndarray,
+                   stride: int = 1) -> jax.Array:
+    """[K, V] neighbor input-slot per output voxel per kernel offset.
+
+    For submanifold (stride 1): in = out + offset. For strided conv the
+    caller passes output coords in the downsampled lattice and
+    ``in = out * stride + offset`` (offsets here include the padding shift).
+    """
+    tables = []
+    for off in offsets:
+        q = out_coords * stride + jnp.asarray(off, jnp.int32)
+        tables.append(lookup(grid, q, out_valid))
+    return jnp.stack(tables, 0)
+
+
+def sparse_conv_apply(feats: jax.Array, table: jax.Array,
+                      weights: jax.Array, out_valid: jax.Array) -> jax.Array:
+    """feats [V, Cin]; table [K, V]; weights [K, Cin, Cout] -> [V, Cout].
+
+    One batched gather + einsum; misses contribute zero.
+    """
+    safe = jnp.clip(table, 0, feats.shape[0] - 1)
+    gathered = feats[safe]                      # [K, V, Cin]
+    gathered = jnp.where((table >= 0)[..., None], gathered, 0.0)
+    out = jnp.einsum("kvc,kcd->vd", gathered, weights,
+                     preferred_element_type=jnp.float32)
+    return jnp.where(out_valid[:, None], out, 0.0)
+
+
+def downsample_coords(grid: SparseGrid, ksize: int, stride: int,
+                      padding: int, max_out: int
+                      ) -> tuple[jax.Array, jax.Array, jax.Array]:
+    """Output lattice of a strided sparse conv: the exact spconv output set
+    {(i + padding - k) / stride : k in [0, ksize), divisible, in range}.
+
+    Returns (out_coords [max_out, 3], out_valid [max_out], out_grid_shape).
+    """
+    gx, gy, gz = grid.grid_shape
+    ogx = (gx + 2 * padding - ksize) // stride + 1
+    ogy = (gy + 2 * padding - ksize) // stride + 1
+    ogz = (gz + 2 * padding - ksize) // stride + 1
+
+    offs = np.stack(np.meshgrid(*([np.arange(ksize)] * 3), indexing="ij"),
+                    -1).reshape(-1, 3)
+    cand_list, valid_list = [], []
+    for off in offs:
+        num = grid.coords + padding - jnp.asarray(off, jnp.int32)
+        div_ok = jnp.all(num % stride == 0, axis=-1)
+        oc = num // stride
+        in_rng = jnp.all(
+            (oc >= 0) & (oc < jnp.asarray([ogx, ogy, ogz], jnp.int32)),
+            axis=-1)
+        cand_list.append(oc)
+        valid_list.append(grid.valid & div_ok & in_rng)
+    cand = jnp.concatenate(cand_list, 0)
+    cval = jnp.concatenate(valid_list, 0)
+
+    key = (cand[:, 0].astype(jnp.int32) * (ogy * ogz)
+           + cand[:, 1].astype(jnp.int32) * ogz
+           + cand[:, 2].astype(jnp.int32))
+    big = jnp.int32(ogx) * ogy * ogz + 1
+    key = jnp.where(cval, key, big)
+    order = jnp.argsort(key)
+    skey = key[order]
+    first = jnp.concatenate(
+        [jnp.ones((1,), bool), skey[1:] != skey[:-1]]) & (skey < big)
+    slot = jnp.cumsum(first) - 1
+    n_out = jnp.sum(first).astype(jnp.int32)
+
+    out_coords = jnp.zeros((max_out, 3), jnp.int32)
+    src = jnp.where(first, slot, max_out)
+    out_coords = out_coords.at[src].set(cand[order], mode="drop")
+    out_valid = jnp.arange(max_out) < jnp.minimum(n_out, max_out)
+    return out_coords, out_valid, (ogx, ogy, ogz)
+
+
+def strided_conv_offsets(ksize: int, padding: int) -> np.ndarray:
+    """Input-lattice offsets for a strided conv: in = out*stride + k - pad."""
+    offs = np.stack(np.meshgrid(*([np.arange(ksize)] * 3), indexing="ij"),
+                    -1).reshape(-1, 3)
+    return offs - padding
+
+
+def scatter_to_dense(feats: jax.Array, coords: jax.Array, valid: jax.Array,
+                     grid_shape) -> jax.Array:
+    """Sparse voxels -> dense [gx, gy, gz, C] canvas (SparseConvTensor
+    .dense() equivalent, used at the encoder -> BEV boundary)."""
+    gx, gy, gz = (int(g) for g in grid_shape)
+    out = jnp.zeros((gx, gy, gz, feats.shape[-1]), feats.dtype)
+    idx = jnp.where(valid[:, None], coords, gx)  # oob -> dropped
+    return out.at[idx[:, 0], idx[:, 1], idx[:, 2]].set(
+        jnp.where(valid[:, None], feats, 0.0), mode="drop")
