@@ -35,8 +35,13 @@ def main():
     global_batch = cfg.batch_size * n_dev
 
     batch = synthetic_batch(cfg, batch_size=global_batch, seed=0)
-    model, state, tx, _ = create_train_state(
-        cfg, jax.random.PRNGKey(0), batch, total_steps=1000)
+    # parameter init is tiny compute — run it on CPU to skip a multi-minute
+    # accelerator compile of the init graph
+    cpu = jax.devices("cpu")[0]
+    with jax.default_device(cpu):
+        model, state, tx, _ = create_train_state(
+            cfg, jax.random.PRNGKey(0), batch, total_steps=1000)
+    state = jax.device_put(state)
     step = make_train_step(model, tx, mesh)
     batch = shard_batch(batch, mesh)
     rng = jax.random.PRNGKey(1)

@@ -1,0 +1,183 @@
+"""Anchor3DHead for SST/SECOND-style detectors.
+
+Rebuild of the reference's ``Anchor3DHead`` +
+``AlignedAnchor3DRangeGenerator`` + MaxIoU assignment pipeline (stock
+mmdet3d, configured in ``configs/_base_/models/sst_base.py:13-75``): dense
+per-BEV-cell anchors (one size and z per class, two rotations), sigmoid
+focal classification, L1 regression on DeltaXYZWLHR targets with
+sin-difference heading encoding, and a binary direction classifier.
+
+Assignment uses nearest-axis BEV IoU (``BboxOverlapsNearest3D``): boxes with
+|sin yaw| > |cos yaw| swap w/l, then axis-aligned IoU — fully vectorized
+over [anchors, max_gt] with a static GT budget.
+"""
+from __future__ import annotations
+
+import dataclasses
+from typing import Sequence
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..core import coder
+
+
+@dataclasses.dataclass(frozen=True)
+class AnchorConfig:
+    sizes: Sequence[Sequence[float]] = ((2.08, 4.73, 1.77),)
+    z_centers: Sequence[float] = (-0.0345,)
+    rotations: Sequence[float] = (0.0, 1.5707963)
+    pos_iou_thr: float = 0.55
+    neg_iou_thr: float = 0.4
+    dir_offset: float = 0.7854
+
+
+def generate_anchors(hw: tuple, pc_range, cfg: AnchorConfig) -> jax.Array:
+    """[H*W*C*R, 7] anchors aligned to BEV cells (bottom-center z)."""
+    H, W = hw
+    xs = np.linspace(pc_range[0], pc_range[3], W, endpoint=False) \
+        + (pc_range[3] - pc_range[0]) / W / 2
+    ys = np.linspace(pc_range[1], pc_range[4], H, endpoint=False) \
+        + (pc_range[4] - pc_range[1]) / H / 2
+    gx, gy = np.meshgrid(xs, ys, indexing="ij")
+    out = []
+    for size, zc in zip(cfg.sizes, cfg.z_centers):
+        for rot in cfg.rotations:
+            a = np.zeros((W, H, 7), np.float32)
+            a[..., 0] = gx
+            a[..., 1] = gy
+            a[..., 2] = zc - size[2] / 2  # bottom center
+            a[..., 3:6] = size
+            a[..., 6] = rot
+            out.append(a.reshape(-1, 7))
+    return jnp.asarray(np.stack(out, 1).reshape(-1, 7))
+
+
+def nearest_bev_iou(anchors: jax.Array, gts: jax.Array) -> jax.Array:
+    """[A, 7] x [G, 7] -> [A, G] axis-aligned nearest-yaw BEV IoU."""
+    def to_aabb(b):
+        swap = jnp.abs(jnp.sin(b[:, 6])) > jnp.abs(jnp.cos(b[:, 6]))
+        w = jnp.where(swap, b[:, 4], b[:, 3])
+        l = jnp.where(swap, b[:, 3], b[:, 4])
+        return (b[:, 0] - w / 2, b[:, 1] - l / 2,
+                b[:, 0] + w / 2, b[:, 1] + l / 2)
+
+    ax0, ay0, ax1, ay1 = to_aabb(anchors)
+    gx0, gy0, gx1, gy1 = to_aabb(gts)
+    ix = jnp.clip(jnp.minimum(ax1[:, None], gx1[None]) -
+                  jnp.maximum(ax0[:, None], gx0[None]), 0, None)
+    iy = jnp.clip(jnp.minimum(ay1[:, None], gy1[None]) -
+                  jnp.maximum(ay0[:, None], gy0[None]), 0, None)
+    inter = ix * iy
+    aa = (ax1 - ax0) * (ay1 - ay0)
+    ga = (gx1 - gx0) * (gy1 - gy0)
+    return inter / jnp.clip(aa[:, None] + ga[None] - inter, 1e-6, None)
+
+
+def assign(anchors, gt_boxes, gt_labels, gt_valid, cfg: AnchorConfig):
+    """Returns (labels [A] (-1 ignore, 0.. classes, bg=num_classes encoded
+    as -2? -> use cls_target one-hot), matched gt idx [A], pos mask,
+    neg mask)."""
+    iou = nearest_bev_iou(anchors, gt_boxes)
+    iou = jnp.where(gt_valid[None], iou, -1.0)
+    best_gt = jnp.argmax(iou, axis=1)
+    best_iou = jnp.max(iou, axis=1)
+    pos = best_iou >= cfg.pos_iou_thr
+    neg = (best_iou < cfg.neg_iou_thr) & (best_iou >= -0.5)
+    # force-match: each gt claims its best anchor (min_pos_iou behavior)
+    best_anchor = jnp.argmax(iou, axis=0)
+    forced = jnp.zeros(anchors.shape[0], bool).at[best_anchor].set(
+        gt_valid, mode="drop")
+    forced_gt = jnp.zeros(anchors.shape[0], jnp.int32).at[best_anchor].set(
+        jnp.arange(gt_boxes.shape[0], dtype=jnp.int32), mode="drop")
+    best_gt = jnp.where(forced & ~pos, forced_gt, best_gt)
+    pos = pos | forced
+    neg = neg & ~pos
+    return best_gt.astype(jnp.int32), pos, neg
+
+
+def focal_loss(logits, targets, alpha=0.25, gamma=2.0):
+    p = jax.nn.sigmoid(logits)
+    ce = jnp.maximum(logits, 0) - logits * targets + jnp.log1p(
+        jnp.exp(-jnp.abs(logits)))
+    p_t = p * targets + (1 - p) * (1 - targets)
+    a_t = alpha * targets + (1 - alpha) * (1 - targets)
+    return a_t * ((1 - p_t) ** gamma) * ce
+
+
+class AnchorHead(nn.Module):
+    num_classes: int = 1
+    num_anchors_per_cell: int = 2   # len(sizes) * len(rotations)
+    feat_channels: int = 384
+
+    @nn.compact
+    def __call__(self, bev: jax.Array):
+        """bev [H, W, C] -> cls [A, ncls], reg [A, 7], dir [A, 2]."""
+        n = self.num_anchors_per_cell
+        x = nn.Conv(self.feat_channels, (1, 1), name="shared")(bev)
+        x = nn.relu(x)
+        cls = nn.Conv(n * self.num_classes, (1, 1),
+                      bias_init=nn.initializers.constant(-4.59),
+                      name="cls")(x)
+        reg = nn.Conv(n * 7, (1, 1), name="reg")(x)
+        dirc = nn.Conv(n * 2, (1, 1), name="dir")(x)
+        A = bev.shape[0] * bev.shape[1] * n
+        return (cls.reshape(A, self.num_classes), reg.reshape(A, 7),
+                dirc.reshape(A, 2))
+
+
+def anchor_head_loss(cls_logits, reg_pred, dir_pred, anchors, gt_boxes,
+                     gt_labels, gt_valid, acfg: AnchorConfig,
+                     num_classes: int = 1, cls_weight=1.0, bbox_weight=0.5,
+                     dir_weight=0.2):
+    best_gt, pos, neg = assign(anchors, gt_boxes, gt_labels, gt_valid, acfg)
+    matched = gt_boxes[best_gt]
+    matched_lab = gt_labels[best_gt]
+
+    # classification: one-hot for pos, zeros for neg, ignore rest
+    tgt = jax.nn.one_hot(matched_lab, num_classes) * pos[:, None]
+    wt = (pos | neg).astype(cls_logits.dtype)[:, None]
+    num_pos = jnp.clip(jnp.sum(pos), 1.0, None)
+    loss_cls = cls_weight * jnp.sum(
+        focal_loss(cls_logits, tgt) * wt) / num_pos
+
+    # regression with sin-difference heading
+    deltas = coder.encode(anchors, matched)
+    sin_d = jnp.sin(matched[:, 6] - anchors[:, 6])
+    deltas = deltas.at[:, 6].set(sin_d)
+    pred = reg_pred.at[:, 6].set(jnp.sin(reg_pred[:, 6]))  # diff_rad_by_sin
+    l1 = jnp.abs(pred - deltas)
+    loss_bbox = bbox_weight * jnp.sum(l1 * pos[:, None]) / num_pos
+
+    # direction classification
+    rot = matched[:, 6] - acfg.dir_offset
+    dir_tgt = (jnp.mod(rot, 2 * jnp.pi) >= jnp.pi).astype(jnp.int32)
+    logp = jax.nn.log_softmax(dir_pred, -1)
+    dir_ce = -jnp.take_along_axis(logp, dir_tgt[:, None], -1)[:, 0]
+    loss_dir = dir_weight * jnp.sum(dir_ce * pos) / num_pos
+
+    total = loss_cls + loss_bbox + loss_dir
+    return dict(loss_cls=loss_cls, loss_bbox=loss_bbox, loss_dir=loss_dir,
+                loss=total, num_pos_anchors=jnp.sum(pos))
+
+
+def anchor_head_decode(cls_logits, reg_pred, dir_pred, anchors,
+                       acfg: AnchorConfig, max_out: int = 500,
+                       score_thr: float = 0.1):
+    scores = jax.nn.sigmoid(cls_logits)
+    best = jnp.max(scores, -1)
+    labels = jnp.argmax(scores, -1)
+    top, idx = jax.lax.top_k(best, max_out)
+    pred = reg_pred[idx]
+    # invert sin-difference: yaw = anchor_yaw + arcsin(clip(pred_sin))
+    a = anchors[idx]
+    raw = pred.at[:, 6].set(jnp.arcsin(jnp.clip(jnp.sin(pred[:, 6]),
+                                                -1 + 1e-6, 1 - 1e-6)))
+    boxes = coder.decode(a, raw)
+    dirs = jnp.argmax(dir_pred[idx], -1)
+    yaw = boxes[:, 6] - acfg.dir_offset
+    yaw = jnp.mod(yaw, jnp.pi) + acfg.dir_offset + jnp.pi * dirs
+    boxes = boxes.at[:, 6].set(yaw)
+    return boxes, top, labels[idx], top > score_thr

@@ -1,0 +1,194 @@
+"""CenterPoint detection head: class heatmaps + per-pixel box regression.
+
+Rebuild of the reference ``CenterHead``/``SeparateHead``
+(``models/dense_heads/centerpoint_head.py:18-242``+) with its target/loss
+protocol (gaussian heatmaps via ``core/utils/gaussian.py``, L1 on
+[reg(2), height(1), dim-log(3), rot-sincos(2), vel(2)] at GT centers,
+GaussianFocalLoss) and the standard top-K peak decoding.
+
+All target drawing is vectorized: instead of a python loop splatting one
+gaussian per object, a single [max_objs, H, W] render + max-reduce runs on
+device (static ``max_objs``).
+"""
+from __future__ import annotations
+
+from typing import Sequence
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+CODE_SIZE = 10  # reg 2, height 1, dim 3, rot 2, vel 2
+
+
+class SeparateHead(nn.Module):
+    head_dims: dict
+    share_channels: int = 64
+    init_bias: float = -2.19
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> dict:
+        x = nn.Conv(self.share_channels, (3, 3), use_bias=False,
+                    name="shared")(x)
+        x = nn.GroupNorm(num_groups=16, epsilon=1e-3)(x)
+        x = nn.relu(x)
+        out = {}
+        for name, (c, num_conv) in self.head_dims.items():
+            h = x
+            for i in range(num_conv - 1):
+                h = nn.Conv(64, (3, 3), use_bias=False,
+                            name=f"{name}_conv{i}")(h)
+                h = nn.GroupNorm(num_groups=16, epsilon=1e-3)(h)
+                h = nn.relu(h)
+            bias_init = (nn.initializers.constant(self.init_bias)
+                         if name == "heatmap" else nn.initializers.zeros)
+            h = nn.Conv(c, (3, 3), bias_init=bias_init,
+                        name=f"{name}_out")(h)
+            out[name] = h
+        return out
+
+
+class CenterHead(nn.Module):
+    num_classes: int = 1
+    share_channels: int = 64
+
+    @nn.compact
+    def __call__(self, bev: jax.Array) -> dict:
+        heads = dict(heatmap=(self.num_classes, 2), reg=(2, 2), height=(1, 2),
+                     dim=(3, 2), rot=(2, 2), vel=(2, 2))
+        return SeparateHead(heads, self.share_channels, name="task0")(bev)
+
+
+# ------------------------------------------------------------------ targets
+def gaussian_radius(l: jax.Array, w: jax.Array, min_overlap: float = 0.1
+                    ) -> jax.Array:
+    """Reference ``core/utils/gaussian.py`` three-case radius, elementwise."""
+    a1 = 1.0
+    b1 = l + w
+    c1 = w * l * (1 - min_overlap) / (1 + min_overlap)
+    r1 = (b1 + jnp.sqrt(jnp.clip(b1**2 - 4 * a1 * c1, 0, None))) / 2
+    a2 = 4.0
+    b2 = 2 * (l + w)
+    c2 = (1 - min_overlap) * w * l
+    r2 = (b2 + jnp.sqrt(jnp.clip(b2**2 - 4 * a2 * c2, 0, None))) / (2 * a2)
+    a3 = 4 * min_overlap
+    b3 = -2 * min_overlap * (l + w)
+    c3 = (min_overlap - 1) * w * l
+    r3 = (b3 + jnp.sqrt(jnp.clip(b3**2 - 4 * a3 * c3, 0, None))) / (2 * a3)
+    return jnp.minimum(jnp.minimum(r1, r2), r3)
+
+
+def make_targets(gt_boxes: jax.Array, gt_labels: jax.Array,
+                 gt_valid: jax.Array, hw: tuple, num_classes: int,
+                 voxel_size, pc_range, out_size_factor: int,
+                 min_radius: float = 2.0, gaussian_overlap: float = 0.1):
+    """gt_boxes [M, 7(+2)], gt_labels [M], gt_valid [M] -> heatmap
+    [H, W, ncls], anno targets [M, 10], center index [M, 2], mask [M]."""
+    H, W = hw
+    vx = voxel_size[0] * out_size_factor
+    vy = voxel_size[1] * out_size_factor
+    cx = (gt_boxes[:, 0] - pc_range[0]) / vx
+    cy = (gt_boxes[:, 1] - pc_range[1]) / vy
+    ix = jnp.floor(cx).astype(jnp.int32)
+    iy = jnp.floor(cy).astype(jnp.int32)
+    in_grid = (ix >= 0) & (ix < W) & (iy >= 0) & (iy < H)
+    mask = gt_valid & in_grid
+
+    dl = gt_boxes[:, 4] / vy     # l along y
+    dw = gt_boxes[:, 3] / vx
+    radius = jnp.clip(jnp.floor(gaussian_radius(dl, dw, gaussian_overlap)),
+                      min_radius, None)
+
+    # render all gaussians at once: [M, H, W]
+    yy = jnp.arange(H)[None, :, None]
+    xx = jnp.arange(W)[None, None, :]
+    g = jnp.exp(-(((xx - ix[:, None, None]) ** 2
+                   + (yy - iy[:, None, None]) ** 2)
+                  / (2 * (radius[:, None, None] / 3) ** 2)))
+    g = jnp.where(mask[:, None, None], g, 0.0)
+    heatmap = jnp.zeros((num_classes, H, W))
+    lab = jnp.clip(gt_labels, 0, num_classes - 1)
+    heatmap = jax.ops.segment_max(g, lab, num_segments=num_classes)
+    heatmap = jnp.where(jnp.isfinite(heatmap), heatmap, 0.0)
+
+    h = gt_boxes[:, 5]
+    rot = gt_boxes[:, 6]
+    vel = (gt_boxes[:, 7:9] if gt_boxes.shape[1] >= 9
+           else jnp.zeros((gt_boxes.shape[0], 2)))
+    anno = jnp.stack([cx - ix, cy - iy,
+                      gt_boxes[:, 2] + h / 2], -1)
+    anno = jnp.concatenate(
+        [anno, jnp.log(jnp.clip(gt_boxes[:, 3:6], 1e-3, None)),
+         jnp.sin(rot)[:, None], jnp.cos(rot)[:, None], vel], -1)
+    return heatmap.transpose(1, 2, 0), anno, jnp.stack([iy, ix], -1), mask
+
+
+def gaussian_focal_loss(pred_logits: jax.Array, heatmap: jax.Array,
+                        alpha: float = 2.0, gamma: float = 4.0):
+    """Reference GaussianFocalLoss (penalty-reduced focal, mean over pos)."""
+    p = jax.nn.sigmoid(pred_logits)
+    eps = 1e-6
+    pos = (heatmap >= 1.0 - 1e-4).astype(p.dtype)
+    neg_w = jnp.power(1 - heatmap, gamma)
+    pos_loss = -jnp.log(p + eps) * jnp.power(1 - p, alpha) * pos
+    neg_loss = -jnp.log(1 - p + eps) * jnp.power(p, alpha) * neg_w * (1 - pos)
+    num_pos = jnp.clip(jnp.sum(pos), 1.0, None)
+    return (jnp.sum(pos_loss) + jnp.sum(neg_loss)) / num_pos
+
+
+def center_head_loss(preds: dict, gt_boxes, gt_labels, gt_valid,
+                     voxel_size, pc_range, out_size_factor,
+                     code_weights=(1., 1., 1., 1., 1., 1., 1., 1., 0., 0.),
+                     bbox_weight: float = 2.0):
+    H, W, ncls = preds["heatmap"].shape
+    heatmap, anno, centers, mask = make_targets(
+        gt_boxes, gt_labels, gt_valid, (H, W), ncls, voxel_size, pc_range,
+        out_size_factor)
+    loss_hm = gaussian_focal_loss(preds["heatmap"], heatmap)
+
+    pred_cat = jnp.concatenate(
+        [preds["reg"], preds["height"], preds["dim"], preds["rot"],
+         preds["vel"]], -1)  # [H, W, 10]
+    at = pred_cat[centers[:, 0], centers[:, 1]]  # [M, 10]
+    l1 = jnp.abs(at - anno) * jnp.asarray(code_weights)
+    num = jnp.clip(jnp.sum(mask), 1.0, None)
+    loss_bbox = bbox_weight * jnp.sum(l1 * mask[:, None]) / num
+    return dict(loss_heatmap=loss_hm, loss_bbox=loss_bbox,
+                loss=loss_hm + loss_bbox)
+
+
+# ------------------------------------------------------------------ decode
+def decode(preds: dict, voxel_size, pc_range, out_size_factor: int,
+           max_out: int = 500, score_threshold: float = 0.1):
+    """Top-K peak decoding (reference ``CenterPointBBoxCoder.decode``).
+
+    Returns boxes [max_out, 9], scores [max_out], labels [max_out],
+    valid [max_out].
+    """
+    H, W, ncls = preds["heatmap"].shape
+    heat = jax.nn.sigmoid(preds["heatmap"])
+    # 3x3 max-pool NMS on the heatmap
+    pooled = jax.lax.reduce_window(
+        heat, -jnp.inf, jax.lax.max, (3, 3, 1), (1, 1, 1), "SAME")
+    heat = jnp.where(heat == pooled, heat, 0.0)
+
+    flat = heat.reshape(-1)  # H*W*ncls
+    scores, idx = jax.lax.top_k(flat, max_out)
+    cls = idx % ncls
+    pix = idx // ncls
+    iy = pix // W
+    ix = pix % W
+
+    reg = preds["reg"][iy, ix]
+    height = preds["height"][iy, ix, 0]
+    dim = jnp.exp(preds["dim"][iy, ix])
+    rot = jnp.arctan2(preds["rot"][iy, ix, 0], preds["rot"][iy, ix, 1])
+    vel = preds["vel"][iy, ix]
+
+    x = (ix + reg[:, 0]) * voxel_size[0] * out_size_factor + pc_range[0]
+    y = (iy + reg[:, 1]) * voxel_size[1] * out_size_factor + pc_range[1]
+    z = height - dim[:, 2] / 2   # gravity -> bottom center
+    boxes = jnp.concatenate(
+        [jnp.stack([x, y, z], -1), dim, rot[:, None], vel], -1)
+    valid = scores > score_threshold
+    return boxes, scores, cls, valid

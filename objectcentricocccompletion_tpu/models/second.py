@@ -1,0 +1,63 @@
+"""SECOND 2D BEV backbone + SECONDFPN neck.
+
+Rebuild of the reference ``SECOND``/``SECONDFPN`` (stock mmdet3d, configured
+in ``configs/centerpoint/cp_voxel_full_6e_car_occ.py:46-63``): two conv
+stages (5 layers each, stride 1 then 2), FPN upsampling both to a common
+stride and concatenating. Dense 2D convs map directly onto the MXU; GroupNorm
+stands in for BN (batch-size-free, mask-safe).
+"""
+from __future__ import annotations
+
+from typing import Sequence
+
+import flax.linen as nn
+import jax
+
+
+def _norm():
+    return nn.GroupNorm(num_groups=16, epsilon=1e-3)
+
+
+class SECOND(nn.Module):
+    out_channels: Sequence[int] = (128, 256)
+    layer_nums: Sequence[int] = (5, 5)
+    layer_strides: Sequence[int] = (1, 2)
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> list[jax.Array]:
+        """x: [H, W, C] single-sample BEV. Returns per-stage maps."""
+        outs = []
+        for i, (c, n, s) in enumerate(zip(self.out_channels, self.layer_nums,
+                                          self.layer_strides)):
+            x = nn.Conv(c, (3, 3), strides=(s, s), use_bias=False,
+                        name=f"stage{i}_conv0")(x)
+            x = _norm()(x)
+            x = nn.relu(x)
+            for j in range(n):
+                x = nn.Conv(c, (3, 3), use_bias=False,
+                            name=f"stage{i}_conv{j + 1}")(x)
+                x = _norm()(x)
+                x = nn.relu(x)
+            outs.append(x)
+        return outs
+
+
+class SECONDFPN(nn.Module):
+    out_channels: Sequence[int] = (256, 256)
+    upsample_strides: Sequence[int] = (1, 2)
+
+    @nn.compact
+    def __call__(self, feats: list[jax.Array]) -> jax.Array:
+        ups = []
+        for i, (x, c, s) in enumerate(zip(feats, self.out_channels,
+                                          self.upsample_strides)):
+            if s > 1:
+                x = nn.ConvTranspose(c, (s, s), strides=(s, s),
+                                     use_bias=False, name=f"deblock{i}")(x)
+            else:
+                x = nn.Conv(c, (3, 3), use_bias=False,
+                            name=f"deblock{i}")(x)
+            x = _norm()(x)
+            ups.append(nn.relu(x))
+        import jax.numpy as jnp
+        return jnp.concatenate(ups, -1)

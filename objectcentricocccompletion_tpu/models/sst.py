@@ -1,0 +1,171 @@
+"""SST (Single-Stride Sparse Transformer, W3) — windowed sparse attention.
+
+Rebuild of the reference ``SSTInputLayerV2`` + ``SSTv2`` +
+``BasicShiftBlockV2``/``WindowAttention``
+(``models/middle_encoders/sst_input_layer_v2.py``,
+``models/backbones/sst_v2.py``, ``models/sst/sst_basic_block_v2.py``),
+configured after ``configs/sst_refactor/sst_waymoD5_1x_3class_8heads_v2.py``:
+pillars (window 12x12), 6 blocks x 2 encoder layers (regular + shifted
+windows), d_model 128, 8 heads, ffn 256, sine positional embedding of
+in-window coordinates, post-norm residual layers, final scatter to a BEV
+canvas.
+
+TPU form: both window partitions are computed once (sort-based, static
+shapes; ``ops/window.py``); each attention layer is a dense masked MHA over
+``[n_windows, capacity, C]`` — batched matmuls on the MXU with a key-padding
+mask instead of the reference's per-drop-level torch MHA calls.
+"""
+from __future__ import annotations
+
+import dataclasses
+from typing import Sequence
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from ..ops import voxelize as vx
+from ..ops import window as win
+from .layers import LN_EPS
+from .vfe import DynamicVFE
+
+
+@dataclasses.dataclass(frozen=True)
+class SSTConfig:
+    voxel_size: Sequence[float] = (0.32, 0.32, 6.0)
+    pc_range: Sequence[float] = (-74.88, -74.88, -2.0, 74.88, 74.88, 4.0)
+    window_shape: Sequence[int] = (12, 12, 1)
+    max_voxels: int = 20000
+    max_points: int = 160000
+    max_windows: int = 3200
+    d_model: int = 128
+    num_heads: int = 8
+    ffn_dim: int = 256
+    num_blocks: int = 6
+    vfe_channels: Sequence[int] = (64, 128)
+    pos_temperature: float = 10000.0
+
+    @property
+    def grid_shape(self):
+        import numpy as np
+        return tuple(np.round(
+            (np.asarray(self.pc_range[3:]) - np.asarray(self.pc_range[:3]))
+            / np.asarray(self.voxel_size)).astype(int))
+
+    @property
+    def capacity(self):
+        w = self.window_shape
+        return int(w[0] * w[1] * w[2])
+
+
+def tiny_sst_config() -> SSTConfig:
+    return SSTConfig(voxel_size=(0.8, 0.8, 6.0),
+                     pc_range=(-9.6, -9.6, -2, 9.6, 9.6, 4),
+                     window_shape=(4, 4, 1), max_voxels=512, max_points=2048,
+                     max_windows=64, d_model=32, num_heads=4, ffn_dim=64,
+                     num_blocks=2, vfe_channels=(16, 32))
+
+
+def window_pos_embed(coors_in_win: jax.Array, window_shape, d_model: int,
+                     temperature: float) -> jax.Array:
+    """Sine embedding of in-window (x, y) offsets
+    (``sst_input_layer_v2.get_pos_embed`` :239-305, 2D path)."""
+    wx, wy, _ = window_shape
+    x = coors_in_win[:, 0].astype(jnp.float32) - wx / 2
+    y = coors_in_win[:, 1].astype(jnp.float32) - wy / 2
+    pos_length = d_model // 2
+    i = jnp.arange(pos_length, dtype=jnp.float32)
+    inv_freq = temperature ** (2 * (i // 2) / pos_length)
+
+    def embed(v):
+        e = v[:, None] / inv_freq[None, :]
+        return jnp.stack([jnp.sin(e[:, ::2]), jnp.cos(e[:, 1::2])],
+                         -1).reshape(v.shape[0], -1)
+
+    return jnp.concatenate([embed(x), embed(y)], -1)
+
+
+class WindowMSALayer(nn.Module):
+    """Post-norm encoder layer over windowed tokens (BasicShiftBlockV2's
+    EncoderLayer): q = k = x + pos, masked MHA, FFN, LayerNorms."""
+    num_heads: int
+    ffn_dim: int
+
+    @nn.compact
+    def __call__(self, tokens, pos, mask):
+        """tokens/pos: [W, T, C]; mask: [W, T] True = valid."""
+        d = tokens.shape[-1]
+        h = self.num_heads
+        hd = d // h
+        qk = tokens + pos
+
+        def proj(x, name):
+            return nn.Dense(d, name=name)(x).reshape(
+                x.shape[:-1] + (h, hd))
+
+        q = proj(qk, "q") * (1.0 / jnp.sqrt(hd))
+        k = proj(qk, "k")
+        v = proj(tokens, "v")
+        logits = jnp.einsum("wthd,wshd->whts", q, k)
+        neg = jnp.asarray(-1e9, logits.dtype)
+        logits = jnp.where(mask[:, None, None, :], logits, neg)
+        attn = jax.nn.softmax(logits, axis=-1)
+        out = jnp.einsum("whts,wshd->wthd", attn, v)
+        out = nn.Dense(d, name="out")(out.reshape(tokens.shape))
+        x = nn.LayerNorm(epsilon=LN_EPS, name="norm1")(tokens + out)
+        f = nn.Dense(self.ffn_dim, name="ffn1")(x)
+        f = nn.Dense(d, name="ffn2")(nn.gelu(f))
+        x = nn.LayerNorm(epsilon=LN_EPS, name="norm2")(x + f)
+        return jnp.where(mask[..., None], x, 0.0)
+
+
+class SST(nn.Module):
+    cfg: SSTConfig
+
+    def setup(self):
+        c = self.cfg
+        self.vfe = DynamicVFE(feat_channels=c.vfe_channels,
+                              voxel_size=c.voxel_size, pc_range=c.pc_range)
+        self.input_proj = nn.Dense(c.d_model)
+        self.layers = [
+            WindowMSALayer(c.num_heads, c.ffn_dim, name=f"block{i}_shift{s}")
+            for i in range(c.num_blocks) for s in (0, 1)]
+
+    def __call__(self, points: jax.Array, mask: jax.Array) -> jax.Array:
+        """points [N, 3+F]; mask [N] -> BEV canvas [gx, gy, d_model]."""
+        c = self.cfg
+        gs = c.grid_shape
+        vres = vx.voxelize(points, mask, c.voxel_size, c.pc_range,
+                           c.max_voxels)
+        vfeat, _ = self.vfe(points, vres, c.max_voxels)
+        x = self.input_proj(vfeat)
+        x = jnp.where(vres.voxel_valid[:, None], x, 0.0)
+
+        parts, pos = [], []
+        for s in (False, True):
+            p = win.partition(vres.coords, vres.voxel_valid, gs,
+                              c.window_shape, s, c.max_windows, c.capacity)
+            parts.append(p)
+            pe = window_pos_embed(p.coors_in_win, c.window_shape, c.d_model,
+                                  c.pos_temperature)
+            pw, _ = win.flat_to_window(pe, p, c.max_windows, c.capacity)
+            pos.append(pw)
+
+        for i, layer in enumerate(self.layers):
+            s = i % 2
+            p = parts[s]
+            tokens, tmask = win.flat_to_window(x, p, c.max_windows,
+                                               c.capacity)
+            tokens = layer(tokens, pos[s], tmask)
+            out = win.window_to_flat(tokens, p, c.max_voxels)
+            # voxels dropped by this partition keep their previous feature
+            kept = (p.win_of_voxel >= 0)[:, None]
+            x = jnp.where(kept, out, x)
+
+        # recover BEV canvas (sst_v2.recover_bev)
+        canvas = jnp.zeros((gs[0], gs[1], c.d_model), x.dtype)
+        cx = jnp.where(vres.voxel_valid, vres.coords[:, 0], gs[0])
+        cy = jnp.where(vres.voxel_valid, vres.coords[:, 1], 0)
+        canvas = canvas.at[cx, cy].set(
+            jnp.where(vres.voxel_valid[:, None], x, 0.0), mode="drop")
+        return canvas

@@ -1,0 +1,115 @@
+"""SST: window partition round-trip invariants (the reference's debug
+asserts as real tests), attention masking, and detector forward/loss."""
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from objectcentricocccompletion_tpu.ops import window as W
+from objectcentricocccompletion_tpu.models.sst import tiny_sst_config
+from objectcentricocccompletion_tpu.models.sst_detector import (
+    SSTDetector, tiny_sst_detector_config)
+from objectcentricocccompletion_tpu.models import anchor_head as ah
+
+
+def test_window_partition_roundtrip():
+    """flat -> window -> flat must be identity for kept voxels
+    (reference sst_ops.py:55-61 round-trip debug checks)."""
+    rng = np.random.RandomState(0)
+    V = 256
+    coords = rng.randint(0, 24, (V, 3)).astype(np.int32)
+    coords[:, 2] = 0
+    valid = rng.rand(V) > 0.1
+    part = W.partition(jnp.asarray(coords), jnp.asarray(valid),
+                       (24, 24, 1), (4, 4, 1), False, 128, 16)
+    feats = jnp.asarray(rng.randn(V, 8).astype(np.float32))
+    tokens, tmask = W.flat_to_window(feats, part, 128, 16)
+    back = W.window_to_flat(tokens, part, V)
+    kept = np.asarray((part.win_of_voxel >= 0))
+    np.testing.assert_allclose(np.asarray(back)[kept],
+                               np.asarray(feats)[kept], atol=1e-6)
+    assert kept.sum() == np.asarray(valid).sum()  # capacity 16 = window size
+    # all voxels in one window share the window id
+    wid = np.asarray(part.win_of_voxel)
+    cw = coords[:, :2] // 4
+    for w in np.unique(wid[kept]):
+        cells = cw[(wid == w) & kept]
+        assert (cells == cells[0]).all()
+
+
+def test_window_shifted_differs():
+    coords = jnp.asarray([[5, 5, 0], [6, 6, 0]], jnp.int32)
+    valid = jnp.asarray([True, True])
+    p0 = W.partition(coords, valid, (16, 16, 1), (4, 4, 1), False, 64, 16)
+    p1 = W.partition(coords, valid, (16, 16, 1), (4, 4, 1), True, 64, 16)
+    # unshifted: cells (1,1); shifted by 2: (5+2)//4=1, (6+2)//4=2 ->
+    # different windows in the shifted partition
+    assert np.asarray(p0.win_of_voxel)[0] == np.asarray(p0.win_of_voxel)[1]
+    assert np.asarray(p1.win_of_voxel)[0] != np.asarray(p1.win_of_voxel)[1]
+
+
+def make_sst_frame(cfg, seed=0, num_boxes=3):
+    rng = np.random.RandomState(seed)
+    s = cfg.sst
+    lo, hi = np.asarray(s.pc_range[:3]), np.asarray(s.pc_range[3:])
+    ctr = rng.uniform(lo + 2, hi - 2, (num_boxes, 3))
+    ctr[:, 2] = -0.5
+    size = np.abs(rng.normal([2.0, 4.5, 1.7], 0.1, (num_boxes, 3)))
+    yaw = rng.uniform(-np.pi, np.pi, (num_boxes, 1))
+    boxes = np.concatenate([ctr, size, yaw], -1).astype(np.float32)
+    pts = [rng.uniform(lo, hi, (1500, 3))]
+    for b in boxes:
+        local = (rng.rand(150, 3) - 0.5) * b[3:6]
+        c, sn = np.cos(b[6]), np.sin(b[6])
+        pts.append(np.stack([
+            local[:, 0] * c - local[:, 1] * sn + b[0],
+            local[:, 0] * sn + local[:, 1] * c + b[1],
+            local[:, 2] + b[2] + b[5] / 2], -1))
+    pts = np.concatenate(pts, 0)
+    points = np.concatenate([pts, rng.rand(len(pts), 2)], -1).astype(
+        np.float32)
+    pad = s.max_points - len(points)
+    points = np.pad(points, ((0, pad), (0, 0)))
+    mask = np.arange(s.max_points) < len(pts)
+    gt_pad = cfg.max_gt - num_boxes
+    gt_boxes = np.pad(boxes, ((0, gt_pad), (0, 0)))
+    gt_valid = np.arange(cfg.max_gt) < num_boxes
+    return (jnp.asarray(points), jnp.asarray(mask), jnp.asarray(gt_boxes),
+            jnp.zeros((cfg.max_gt,), jnp.int32), jnp.asarray(gt_valid))
+
+
+def test_sst_detector_forward_loss_decode():
+    cfg = tiny_sst_detector_config()
+    points, mask, boxes, labels, valid = make_sst_frame(cfg)
+    model = SSTDetector(cfg)
+    variables = model.init(jax.random.PRNGKey(0), points, mask)
+    losses = model.apply(variables, points, mask, boxes, labels, valid,
+                         method=model.loss)
+    assert np.isfinite(float(losses["loss"]))
+    assert float(losses["num_pos_anchors"]) >= 3
+
+    def loss_fn(params):
+        return model.apply({"params": params}, points, mask, boxes, labels,
+                           valid, method=model.loss)["loss"]
+
+    g = jax.grad(loss_fn)(variables["params"])
+    assert all(bool(jnp.isfinite(x).all())
+               for x in jax.tree_util.tree_leaves(g))
+
+    out_boxes, scores, out_labels, ok = model.apply(
+        variables, points, mask, method=model.predict)
+    assert out_boxes.shape == (500, 7)
+
+
+def test_anchor_assignment_recovers_gt():
+    """Anchors exactly on GT must be positive; far anchors negative."""
+    acfg = ah.AnchorConfig()
+    gt = jnp.asarray([[0.0, 0.0, -0.9, 2.08, 4.73, 1.77, 0.0]])
+    anchors = jnp.asarray([
+        [0.0, 0.0, -0.9, 2.08, 4.73, 1.77, 0.0],     # perfect
+        [30.0, 30.0, -0.9, 2.08, 4.73, 1.77, 0.0],   # far
+    ])
+    best, pos, neg = ah.assign(anchors, gt, jnp.asarray([0]),
+                               jnp.asarray([True]), acfg)
+    assert bool(pos[0]) and not bool(pos[1])
+    assert bool(neg[1])
