@@ -11,6 +11,12 @@ from typing import Sequence, Tuple
 
 @dataclasses.dataclass(frozen=True)
 class OcOccNetConfig:
+    # model family: "ococc" = full OcOccNet (occ AE + temporal transformer +
+    # implicit decoder); "ctrl" = the CTRL baseline (W6,
+    # configs/ctrl/ctrl_veh_24e.py — RoI SIR encoder + cls/reg heads only,
+    # no occupancy branch, no temporal transformer)
+    variant: str = "ococc"
+
     # static shapes
     batch_size: int = 4                 # tracklets per device (samples_per_gpu)
     reg_len: int = 32                   # frames per tracklet at train

@@ -1,0 +1,123 @@
+"""Single-frame detection dataset (CenterPoint / SST / FSD inputs).
+
+Reads the reference's kitti-format Waymo layout
+(``datasets/waymo_dataset.py``): an infos pkl (list of dicts with
+``point_cloud.velodyne_path``, ``annos`` in KITTI camera coords, ``calib``,
+``timestamp``/``pose``) plus float32 ``[N, 6]`` velodyne bins. Camera-frame
+annotations convert to LiDAR boxes with the standard
+``inv(R0_rect @ Tr_velo_to_cam)`` transform (mmdet3d
+``CameraInstance3DBoxes.convert_to`` semantics).
+
+Also implements the W8 occupancy augmentation
+(``LoadPointsAndOccPredFromFile`` / ``LoadOccPredFromFile``,
+``datasets/pipelines/occ_pinelines.py:586-806``): predicted occupancy
+centers dumped by the OcOccNet evaluator merge into the frame's point cloud
+as extra points carrying their occupancy score.
+"""
+from __future__ import annotations
+
+import glob
+import os
+import pickle
+
+import numpy as np
+
+CLASS_MAP = {"Car": 0, "Pedestrian": 1, "Cyclist": 2}
+
+
+def _load_pkl(path):
+    with open(path, "rb") as f:
+        return pickle.load(f)
+
+
+def camera_to_lidar_boxes(annos: dict, rect: np.ndarray,
+                          trv2c: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """KITTI camera-frame annos -> LiDAR boxes [M, 7] + labels [M]."""
+    names = [n for n in annos["name"] if n != "DontCare"]
+    keep = np.asarray([n != "DontCare" for n in annos["name"]], bool)
+    loc = np.asarray(annos["location"], np.float64)[keep]
+    dims = np.asarray(annos["dimensions"], np.float64)[keep]  # l, h, w
+    ry = np.asarray(annos["rotation_y"], np.float64)[keep]
+    if len(loc) == 0:
+        return np.zeros((0, 7), np.float32), np.zeros((0,), np.int32)
+    inv = np.linalg.inv(rect @ trv2c)
+    loc_h = np.concatenate([loc, np.ones((len(loc), 1))], -1)
+    xyz = (loc_h @ inv.T)[:, :3]
+    # camera dims (l, h, w) -> lidar (w=x_size, l=y_size, h=z_size);
+    # camera bottom-center maps to lidar bottom-center directly
+    w = dims[:, 2]
+    l = dims[:, 0]
+    h = dims[:, 1]
+    yaw = -ry - np.pi / 2
+    boxes = np.stack([xyz[:, 0], xyz[:, 1], xyz[:, 2], w, l, h, yaw],
+                     -1).astype(np.float32)
+    labels = np.asarray([CLASS_MAP.get(n, -1) for n in names], np.int32)
+    ok = labels >= 0
+    return boxes[ok], labels[ok]
+
+
+class FrameDataset:
+    def __init__(self, info_path: str, data_root: str,
+                 max_points: int = 160000, max_gt: int = 128,
+                 occ_pred_root: str | None = None, load_dim: int = 6,
+                 use_dim: int = 5):
+        self.infos = _load_pkl(info_path)
+        self.data_root = data_root
+        self.max_points = max_points
+        self.max_gt = max_gt
+        self.occ_pred_root = occ_pred_root
+        self.load_dim = load_dim
+        self.use_dim = use_dim
+
+    def __len__(self):
+        return len(self.infos)
+
+    def load_occ_points(self, segment: str, ts) -> np.ndarray:
+        """All predicted-occ centers of a frame -> [K, use_dim] pseudo-points
+        (xyz + occupancy score as intensity, zeros elsewhere)."""
+        d = os.path.join(self.occ_pred_root, segment, str(ts))
+        rows = []
+        for f in glob.glob(os.path.join(d, "*.bin")):
+            arr = np.fromfile(f, np.float32).reshape(-1, 4)
+            rows.append(arr)
+        if not rows:
+            return np.zeros((0, self.use_dim), np.float32)
+        occ = np.concatenate(rows, 0)
+        out = np.zeros((len(occ), self.use_dim), np.float32)
+        out[:, :3] = occ[:, :3]
+        out[:, 3] = occ[:, 3]
+        return out
+
+    def build_sample(self, index: int, rng: np.random.RandomState) -> dict:
+        info = self.infos[index]
+        vpath = info["point_cloud"]["velodyne_path"]
+        pts = np.fromfile(os.path.join(self.data_root, vpath),
+                          np.float32).reshape(-1, self.load_dim)
+        pts = pts[:, :self.use_dim]
+
+        if self.occ_pred_root is not None:
+            seg = info.get("segment_name",
+                           info["point_cloud"].get("segment_name", ""))
+            ts = info.get("timestamp", 0)
+            occ = self.load_occ_points(seg, ts)
+            pts = np.concatenate([pts, occ], 0)
+
+        rect = np.asarray(info["calib"]["R0_rect"], np.float64)
+        trv2c = np.asarray(info["calib"]["Tr_velo_to_cam"], np.float64)
+        boxes, labels = camera_to_lidar_boxes(info["annos"], rect, trv2c)
+
+        if len(pts) > self.max_points:
+            pts = pts[rng.permutation(len(pts))[:self.max_points]]
+        n = len(pts)
+        points = np.zeros((self.max_points, self.use_dim), np.float32)
+        points[:n] = pts
+        mask = np.arange(self.max_points) < n
+
+        m = min(len(boxes), self.max_gt)
+        gt_boxes = np.zeros((self.max_gt, 7), np.float32)
+        gt_labels = np.zeros((self.max_gt,), np.int32)
+        gt_boxes[:m] = boxes[:m]
+        gt_labels[:m] = labels[:m]
+        gt_valid = np.arange(self.max_gt) < m
+        return dict(points=points, points_mask=mask, gt_boxes=gt_boxes,
+                    gt_labels=gt_labels, gt_valid=gt_valid)

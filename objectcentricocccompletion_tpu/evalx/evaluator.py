@@ -20,7 +20,8 @@ from ..configs.ococcnet_config import OcOccNetConfig
 from ..data.tracklet_dataset import (TrackletDataset, pose_transform_boxes)
 from ..models.ococcnet import OcOccNetWithLoss, TrackletBatch
 from . import occ_iou as occ_iou_mod
-from .waymo_bin import tracklets_to_objects, write_bin
+from .waymo_bin import WaymoObject, tracklets_to_objects, write_bin
+from .waymo_metrics import compute_metrics
 
 LENGTH_BUCKETS = (32, 64, 128, 224)
 MAX_OCC_QUERIES = 16384
@@ -92,7 +93,9 @@ class Evaluator:
         return self._occ_eval[L]
 
     def run(self, out_dir: str, max_tracklets: int | None = None,
-            eval_occ: bool = True) -> dict:
+            eval_occ: bool = True, eval_waymo: bool = True,
+            gt_bin: str | None = None,
+            save_occ_root: str | None = None) -> dict:
         os.makedirs(out_dir, exist_ok=True)
         rng = np.random.RandomState(0)
         acc = occ_iou_mod.OccIoUAccumulator()
@@ -142,6 +145,9 @@ class Evaluator:
 
             if eval_occ:
                 self._eval_occ_one(i, rec, padded, pred, T, acc)
+            if save_occ_root is not None:
+                self.save_occ(save_occ_root, rec, dict(sample, rois=padded[
+                    "rois"]), pred, T)
 
         bin_path = os.path.join(out_dir, "results.bin")
         write_bin(tracklets_to_objects(out_tracklets, self.ds.class_names),
@@ -149,7 +155,75 @@ class Evaluator:
         metrics = acc.summary() if eval_occ else {}
         metrics["num_tracklets"] = n
         metrics["results_bin"] = bin_path
+
+        if eval_waymo:
+            gt_path = gt_bin or os.path.join(out_dir, "gt.bin")
+            if gt_bin is None:
+                self.write_gt_bin(gt_path, max_tracklets=n)
+            ap = compute_metrics(bin_path, gt_path)
+            metrics.update({k: v for k, v in ap.items() if k != "_raw"})
         return metrics
+
+    def write_gt_bin(self, path: str, max_tracklets: int | None = None):
+        """GT ``.bin`` from the dataset's selected candidate tracklets
+        (per-frame ego boxes). Equivalent of tools/ctrl/
+        generate_train_gt_bin.py restricted to the evaluated tracks."""
+        objs = []
+        n = len(self.ds) if max_tracklets is None else min(
+            max_tracklets, len(self.ds))
+        for i in range(n):
+            rec = self.ds.records[i]
+            ci = self.ds.select_candidate(rec, self.ds.candidates[i])
+            if ci < 0:
+                continue
+            gt = self.ds.candidates[i][ci]
+            npts = (gt.num_pts if gt.num_pts is not None
+                    else [50] * len(gt))
+            for box, ts, np_ in zip(gt.boxes, gt.ts, npts):
+                objs.append(WaymoObject(
+                    tuple(box), 1.0, 1, gt.id, gt.segment_name, int(ts),
+                    num_lidar_points=int(np_), difficulty=1))
+        write_bin(objs, path)
+
+    def save_occ(self, out_root: str, rec, sample: dict, pred, T: int,
+                 max_queries: int = 8192):
+        """Dump predicted occupancy per frame as
+        ``<out>/<segment>/<ts>/<type>_<id>.bin`` float32 [K, 4] (xyz in the
+        shared frame + score) — the W8 artifact consumed by
+        ``LoadPointsAndOccPredFromFile`` (reference
+        ``tracklet_roi_head_occ.save_occ_from_tracklet`` :612-744)."""
+        rois = sample["rois"][:T]
+        latent = pred["shape_latent"][0][:T]
+        ts = sample["meta"]["ts"][:T]
+        scores = np.asarray(pred["scores"][0])[:T]
+        for j in range(T):
+            size = rois[j, 3:6]
+            dims = np.maximum(np.ceil(size / self.cfg.ae_voxel_size), 1
+                              ).astype(int)
+            coors = np.stack(np.meshgrid(*[np.arange(d) for d in dims],
+                                         indexing="ij"), -1).reshape(-1, 3)
+            centers = ((coors + 0.5) * self.cfg.ae_voxel_size
+                       - size / 2).astype(np.float32)
+            if len(centers) > max_queries:
+                centers = centers[:max_queries]
+            logits = self.model.apply(
+                {"params": self.params}, latent[j], jnp.asarray(centers),
+                method=self.model.decode_occ_queries)
+            prob = np.asarray(jax.nn.sigmoid(logits))
+            keep = prob > self.cfg.occ_pos_thresh
+            if not keep.any():
+                continue
+            kept = centers[keep]
+            # box-local -> shared frame (local_to_global with gravity ctr)
+            from ..core import boxes as box_ops
+            ego = np.asarray(box_ops.local_to_global(
+                jnp.asarray(kept[None]), jnp.asarray(rois[j][None]))[0])
+            out = np.concatenate(
+                [ego, np.full((len(ego), 1), scores[j], np.float32)], -1)
+            d = os.path.join(out_root, rec.segment_name, str(ts[j]))
+            os.makedirs(d, exist_ok=True)
+            out.astype(np.float32).tofile(
+                os.path.join(d, f"1_{rec.id}.bin"))
 
     def _eval_occ_one(self, i, rec, padded, pred, T, acc):
         ci = self.ds.select_candidate(rec, self.ds.candidates[i])

@@ -86,6 +86,9 @@ class WaymoObject:
     obj_id: str
     context_name: str
     timestamp_micros: int
+    # GT-only extras (Label fields 7 / 5, written when >= 0):
+    num_lidar_points: int = -1
+    difficulty: int = -1
 
 
 def encode_object(o: WaymoObject) -> bytes:
@@ -95,6 +98,10 @@ def encode_object(o: WaymoObject) -> bytes:
            + _double(7, wrap_heading(-yaw - 0.5 * math.pi)))
     label = (_bytes(1, box) + _int(3, o.obj_type)
              + _bytes(4, o.obj_id.encode()))
+    if o.difficulty >= 0:
+        label += _int(5, o.difficulty)
+    if o.num_lidar_points >= 0:
+        label += _int(7, o.num_lidar_points)
     obj = (_bytes(1, label) + _float(2, float(o.score))
            + _bytes(4, o.context_name.encode())
            + _int(5, int(o.timestamp_micros)))

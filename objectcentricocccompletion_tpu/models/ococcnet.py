@@ -65,10 +65,19 @@ class OcOccNet(nn.Module):
 
     def setup(self):
         cfg = self.cfg
+        self.with_occ = cfg.variant == "ococc"
         self.roi_encoder = SIREncoder(
             num_blocks=cfg.num_blocks, feat_channels=cfg.feat_channels,
             rel_mlp_hidden=cfg.rel_mlp_hidden,
             xyz_normalizer=cfg.xyz_normalizer, geo_input=True, act=cfg.act)
+        if not self.with_occ:
+            # CTRL baseline: FullySparseBboxHead = RoI encoder + heads
+            self.conv_cls = Mlp(tuple(cfg.cls_mlp) + (1,), is_head=True,
+                                act=cfg.act, dropout=cfg.cls_dropout)
+            self.conv_reg = Mlp(tuple(cfg.reg_mlp) + (coder.CODE_SIZE,),
+                                is_head=True, act=cfg.act,
+                                dropout=cfg.reg_dropout)
+            return
         self.ae_encoder = SIREncoder(
             num_blocks=cfg.num_blocks, feat_channels=cfg.feat_channels,
             rel_mlp_hidden=cfg.rel_mlp_hidden,
@@ -121,6 +130,13 @@ class OcOccNet(nn.Module):
             flat(f_cluster), train=train)
         roi_feats = roi_feats.reshape(B, L, -1)
         roi_feats = jnp.where(nonempty[..., None], roi_feats, 0.0)
+
+        if not self.with_occ:   # CTRL: heads straight off the RoI encoder
+            cls_logit = self.conv_cls(roi_feats, train=train)[..., 0]
+            bbox_pred = self.conv_reg(roi_feats, train=train)
+            return dict(cls_logit=cls_logit, bbox_pred=bbox_pred,
+                        shape_latent=roi_feats, ae_latent=roi_feats,
+                        nonempty=nonempty)
 
         # ---- occupancy auto-encoder (occ_ae_head.encode) ----
         vox_centers = rp.quantize_to_voxel_centers(
@@ -217,6 +233,12 @@ class OcOccNetWithLoss(nn.Module):
         loss_bbox = (cfg.loss_bbox_weight
                      * jnp.sum(l1 * posf[..., None])
                      / jnp.clip(num_pos, 1.0, None))
+
+        if cfg.variant != "ococc":   # CTRL: box losses only
+            total = loss_cls + loss_bbox
+            losses = dict(loss_rcnn_cls=loss_cls, loss_rcnn_bbox=loss_bbox,
+                          loss=total, num_pos_rois=num_pos)
+            return total, losses
 
         # --- occupancy completion ---
         queries = gt_occ_to_roi_frame(batch.occ_points, batch.gt_boxes,

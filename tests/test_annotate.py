@@ -118,3 +118,25 @@ def test_annotator_idempotent(tmp_path):
     m1 = np.load(p1)["occ"].copy()
     p2 = ann.annotate_trk("seg", "trk", boxes, ts_list)  # cached, no rewrite
     np.testing.assert_array_equal(m1, np.load(p2)["occ"])
+
+
+def test_range_image_projection_roundtrip():
+    """A point projected into a range image it built must be 'visible' at
+    exactly its own range; points behind it occluded (the W0 <-> W1 seam)."""
+    from objectcentricocccompletion_tpu.tools_occ.range_image import (
+        build_virtual_range_image, project_to_range_image)
+    rng = np.random.RandomState(0)
+    extrinsic = np.eye(4)
+    incl = np.linspace(-0.4, 0.4, 64)
+    pts = rng.uniform(-1, 1, (500, 3))
+    pts[:, 0] = rng.uniform(5, 15, 500)   # in front of sensor
+    ri = build_virtual_range_image(pts, extrinsic, incl, 2650)
+    rows, cols, ranges = project_to_range_image(pts, extrinsic, incl, 2650)
+    vals = ri[rows, cols]
+    # every cell's stored range is the min over its points -> <= point range
+    assert (vals <= ranges + 1e-5).all()
+    assert (vals > 0).all()
+    # a point pushed 2x farther along the same ray becomes occluded
+    far = pts * 2.0
+    fr, fc, frange = project_to_range_image(far, extrinsic, incl, 2650)
+    assert (ri[fr, fc] < frange - 1.0).mean() > 0.95

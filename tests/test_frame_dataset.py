@@ -1,0 +1,77 @@
+"""Frame dataset: kitti->lidar conversion, occ-pred merge (W8), and the
+occ-dump -> frame-dataset seam using the evaluator's save_occ output."""
+import os
+import pickle
+
+import numpy as np
+import jax
+import pytest
+
+from objectcentricocccompletion_tpu.data.frame_dataset import (
+    FrameDataset, camera_to_lidar_boxes)
+
+
+def write_frame_dataset(root, num_frames=2, seed=0):
+    rng = np.random.RandomState(seed)
+    os.makedirs(os.path.join(root, "velodyne"), exist_ok=True)
+    infos = []
+    # identity-ish calib: rect = I, Tr maps lidar->camera with axis swap
+    rect = np.eye(4)
+    trv2c = np.asarray([[0, -1, 0, 0],
+                        [0, 0, -1, 0],
+                        [1, 0, 0, 0],
+                        [0, 0, 0, 1]], np.float64)
+    for i in range(num_frames):
+        pts = rng.uniform(-20, 20, (3000, 3))
+        extra = rng.rand(3000, 3)
+        arr = np.concatenate([pts, extra], -1).astype(np.float32)
+        vp = f"velodyne/{i:06d}.bin"
+        arr.tofile(os.path.join(root, vp))
+        # one GT box in lidar frame, then express in camera coords
+        lidar_box = np.array([5.0 + i, 2.0, -1.0, 2.0, 4.5, 1.8, 0.4])
+        cam_xyz = (rect @ trv2c) @ np.concatenate(
+            [lidar_box[:3], [1.0]])
+        annos = dict(
+            name=np.array(["Car", "DontCare"]),
+            location=np.stack([cam_xyz[:3], np.zeros(3)], 0),
+            dimensions=np.array([[4.5, 1.8, 2.0], [0, 0, 0]]),  # l, h, w
+            rotation_y=np.array([-lidar_box[6] - np.pi / 2, 0.0]),
+        )
+        infos.append(dict(
+            point_cloud=dict(velodyne_path=vp),
+            calib=dict(R0_rect=rect, Tr_velo_to_cam=trv2c),
+            annos=annos, timestamp=1000 + i, segment_name="seg-f"))
+    with open(os.path.join(root, "infos.pkl"), "wb") as f:
+        pickle.dump(infos, f)
+    return os.path.join(root, "infos.pkl")
+
+
+def test_camera_to_lidar_roundtrip(tmp_path):
+    info_path = write_frame_dataset(str(tmp_path))
+    ds = FrameDataset(info_path, str(tmp_path), max_points=4096)
+    s = ds.build_sample(0, np.random.RandomState(0))
+    assert s["gt_valid"].sum() == 1
+    box = s["gt_boxes"][0]
+    np.testing.assert_allclose(box[:3], [5.0, 2.0, -1.0], atol=1e-5)
+    np.testing.assert_allclose(box[3:6], [2.0, 4.5, 1.8], atol=1e-5)
+    assert abs((box[6] - 0.4 + np.pi) % (2 * np.pi) - np.pi) < 1e-5
+
+
+def test_occ_pred_merge(tmp_path):
+    info_path = write_frame_dataset(str(tmp_path))
+    occ_root = str(tmp_path / "occ_pred")
+    d = os.path.join(occ_root, "seg-f", "1000")
+    os.makedirs(d)
+    occ = np.concatenate([np.full((10, 3), 3.0),
+                          np.full((10, 1), 0.77)], -1).astype(np.float32)
+    occ.tofile(os.path.join(d, "1_trk9.bin"))
+    ds = FrameDataset(info_path, str(tmp_path), max_points=8192,
+                      occ_pred_root=occ_root)
+    s = ds.build_sample(0, np.random.RandomState(0))
+    pts = s["points"][s["points_mask"]]
+    merged = pts[np.isclose(pts[:, 3], 0.77)]
+    assert len(merged) == 10
+    np.testing.assert_allclose(merged[:, :3], 3.0)
+    # frame 1 (ts 1001) has no occ files -> unchanged count
+    s1 = ds.build_sample(1, np.random.RandomState(0))
+    assert s1["points_mask"].sum() == 3000

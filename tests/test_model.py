@@ -146,3 +146,29 @@ def test_gt_occ_transform_identity():
     np.testing.assert_allclose(
         np.asarray(out), np.broadcast_to(occ[:, None], (2, 4, 16, 3)),
         atol=1e-4)
+
+
+def test_ctrl_variant():
+    """CTRL baseline (variant='ctrl'): box losses only, no occupancy or
+    temporal parameters, gradients flow."""
+    import dataclasses
+    cfg = dataclasses.replace(tiny_config(), variant="ctrl")
+    batch = make_batch(cfg)
+    model = OcOccNetWithLoss(cfg)
+    variables = model.init({"params": jax.random.PRNGKey(0)}, batch,
+                           train=False)
+    total, aux = model.apply(variables, batch, train=False)
+    assert np.isfinite(float(total))
+    assert "loss_rcnn_occ" not in aux
+    names = str(jax.tree_util.tree_structure(variables["params"]))
+    assert "ae_encoder" not in names and "occ_decoder" not in names
+    assert "temporal" not in names
+
+    def loss_fn(params):
+        t, _ = model.apply({"params": params}, batch, train=True,
+                           rngs={"dropout": jax.random.PRNGKey(1)})
+        return t
+
+    g = jax.grad(loss_fn)(variables["params"])
+    assert all(bool(jnp.isfinite(x).all())
+               for x in jax.tree_util.tree_leaves(g))
