@@ -73,6 +73,15 @@ def _load_pkl(path):
         return pickle.load(f)
 
 
+def mirror_occ_label(occ: np.ndarray) -> np.ndarray:
+    """Fill unknown voxels with their x-mirrored counterpart
+    (``MirrorOccLabel``, ``occ_pinelines.py:83-127``) — vehicles are
+    front/back near-symmetric, so a voxel occluded on one side often has a
+    known mirror."""
+    mirrored = occ[::-1]
+    return np.where(occ == 0, mirrored, occ)
+
+
 def pose_transform_boxes(boxes: np.ndarray, src_poses: np.ndarray,
                          tgt_pose_inv: np.ndarray) -> np.ndarray:
     """Move per-frame ego boxes into a shared target frame
@@ -104,9 +113,11 @@ class TrackletDataset:
                  class_names: Sequence[str] = ("Car",),
                  min_tracklet_points: int = 100,
                  min_tracklet_length: int | None = None,
-                 training: bool = True, load_interval: int = 1):
+                 training: bool = True, load_interval: int = 1,
+                 mirror_occ: bool = False):
         self.cfg = cfg
         self.training = training
+        self.mirror_occ = mirror_occ
         self.occ_anno_root = occ_anno_root
         self.class_names = list(class_names)
         min_len = (min_tracklet_length if min_tracklet_length is not None
@@ -181,6 +192,8 @@ class TrackletDataset:
             occ = np.load(path)["occ"]
         except Exception:
             return empty
+        if self.mirror_occ:
+            occ = mirror_occ_label(occ)
         vs = self.cfg.ae_voxel_size
         dims = np.asarray(occ.shape)
         size = dims * vs

@@ -46,6 +46,10 @@ class FSDConfig:
     num_classes: int = 1
     seg_score_thresh: float = 0.3
     head_channels: int = 256
+    # True = FSD (connected-component clusters); False = FSDv2-style virtual
+    # voxels (every occupied vote-voxel is its own instance;
+    # models/detectors/single_stage_fsd_v2.py:37)
+    use_clustering: bool = True
 
     @property
     def grid_shape(self):
@@ -155,12 +159,17 @@ class FSD(nn.Module):
 
         cres = vx.voxelize(centers, fg_ok, c.cluster_voxel_size, c.pc_range,
                            c.max_clusters * 8)
-        import numpy as np
-        cgrid = tuple(np.round(
-            (np.asarray(c.pc_range[3:]) - np.asarray(c.pc_range[:3]))
-            / np.asarray(c.cluster_voxel_size)).astype(int))
-        vox_labels = cl.connected_components(cres.coords, cres.voxel_valid,
-                                             cgrid)
+        if c.use_clustering:
+            import numpy as np
+            cgrid = tuple(np.round(
+                (np.asarray(c.pc_range[3:]) - np.asarray(c.pc_range[:3]))
+                / np.asarray(c.cluster_voxel_size)).astype(int))
+            vox_labels = cl.connected_components(cres.coords,
+                                                 cres.voxel_valid, cgrid)
+        else:   # FSDv2 virtual voxels: each occupied voxel is an instance
+            vox_labels = jnp.where(
+                cres.voxel_valid,
+                jnp.arange(cres.coords.shape[0], dtype=jnp.int32), -1)
         vox_labels, num_clusters = cl.compact_labels(vox_labels,
                                                      c.max_clusters)
         pt_cluster = jnp.where(

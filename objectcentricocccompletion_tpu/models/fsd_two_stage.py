@@ -1,0 +1,88 @@
+"""Two-stage FSD (W4): group-correction RoI refinement.
+
+Rebuild of ``FSD`` (two-stage) = ``TwoStageFSD`` + ``FSDRoIHead`` +
+``FullySparseBboxHead`` (``models/detectors/two_stage_fsd.py:13``,
+``models/roi_heads/fsd_roi_head.py``): the single-stage proposals are
+refined by pooling raw points into each (enlarged) proposal box and running
+a SIR RoI encoder + cls/reg heads — exactly the machinery OcOccNet's RoI
+branch uses, reused here with the cluster axis standing in for the tracklet
+frame axis of the dense [1, R, P] pooling layout.
+"""
+from __future__ import annotations
+
+import dataclasses
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from ..core import coder
+from ..ops import roi_pool as rp
+from .fsd import FSD, FSDConfig, tiny_fsd_config
+from .layers import Mlp
+from .sir import SIREncoder
+
+
+@dataclasses.dataclass(frozen=True)
+class TwoStageFSDConfig:
+    fsd: FSDConfig = dataclasses.field(default_factory=FSDConfig)
+    roi_points: int = 256          # points pooled per proposal
+    extra_wlh: tuple = (0.5, 0.5, 0.5)
+    num_blocks: int = 3
+    feat_channels: tuple = (64, 64)
+    head_mlp: tuple = (256, 256)
+
+
+def tiny_two_stage_config() -> TwoStageFSDConfig:
+    return TwoStageFSDConfig(fsd=tiny_fsd_config(), roi_points=64,
+                             num_blocks=2, feat_channels=(16, 16),
+                             head_mlp=(32,))
+
+
+class TwoStageFSD(nn.Module):
+    cfg: TwoStageFSDConfig
+
+    def setup(self):
+        c = self.cfg
+        self.stage1 = FSD(c.fsd)
+        self.roi_encoder = SIREncoder(
+            num_blocks=c.num_blocks, feat_channels=c.feat_channels,
+            rel_mlp_hidden=(8, 16), xyz_normalizer=(20.0, 20.0, 4.0),
+            geo_input=True, act="gelu")
+        d = c.num_blocks * 2 * c.feat_channels[-1]
+        self.conv_cls = Mlp(tuple(c.head_mlp) + (1,), is_head=True,
+                            act="gelu")
+        self.conv_reg = Mlp(tuple(c.head_mlp) + (coder.CODE_SIZE,),
+                            is_head=True, act="gelu")
+
+    def __call__(self, points, mask):
+        c = self.cfg
+        out1 = self.stage1(points, mask)
+        rois = out1["boxes"]                       # [R, 7]
+        roi_valid = out1["cluster_valid"]
+        R = rois.shape[0]
+
+        # pool a fixed point budget per proposal: nearest-first selection
+        xyz = points[:, :3]
+        d2 = jnp.sum((xyz[None] - rois[:, None, :3]) ** 2, -1)  # [R, N]
+        d2 = jnp.where(mask[None], d2, 1e12)
+        _, idx = jax.lax.top_k(-d2, c.roi_points)               # [R, P]
+        roi_pts = points[idx]                                   # [R, P, C]
+
+        pool = rp.roi_pool(roi_pts[None, ..., :3],
+                           jnp.ones((1, R, c.roi_points), bool),
+                           rois[None], c.extra_wlh)
+        pmask = pool.mask[0] & (d2[jnp.arange(R)[:, None], idx] < 1e11)
+        f_cluster = jnp.concatenate(
+            [pool.local_xyz[0], pool.boundary_offset[0],
+             pool.is_in_margin[0][..., None], pool.rel_xyz[0]], -1)
+        _, feats = self.roi_encoder(roi_pts[..., :3], roi_pts[..., 3:],
+                                    pmask, f_cluster)
+        nonempty = jnp.any(pmask, -1) & roi_valid
+        feats = jnp.where(nonempty[:, None], feats, 0.0)
+
+        cls2 = self.conv_cls(feats)[..., 0]
+        reg2 = self.conv_reg(feats)
+        refined = coder.decode_from_rois(rois, reg2)
+        return dict(out1, cls2=cls2, bbox2=reg2, refined_boxes=refined,
+                    roi_nonempty=nonempty)

@@ -44,6 +44,7 @@ class SSTConfig:
     num_blocks: int = 6
     vfe_channels: Sequence[int] = (64, 128)
     pos_temperature: float = 10000.0
+    use_pallas_attention: bool = False
 
     @property
     def grid_shape(self):
@@ -87,9 +88,13 @@ def window_pos_embed(coors_in_win: jax.Array, window_shape, d_model: int,
 
 class WindowMSALayer(nn.Module):
     """Post-norm encoder layer over windowed tokens (BasicShiftBlockV2's
-    EncoderLayer): q = k = x + pos, masked MHA, FFN, LayerNorms."""
+    EncoderLayer): q = k = x + pos, masked MHA, FFN, LayerNorms.
+
+    ``use_pallas`` routes the attention core through the fused VMEM kernel
+    (``ops/pallas_attention.py``) instead of the einsum path."""
     num_heads: int
     ffn_dim: int
+    use_pallas: bool = False
 
     @nn.compact
     def __call__(self, tokens, pos, mask):
@@ -99,19 +104,23 @@ class WindowMSALayer(nn.Module):
         hd = d // h
         qk = tokens + pos
 
-        def proj(x, name):
-            return nn.Dense(d, name=name)(x).reshape(
-                x.shape[:-1] + (h, hd))
-
-        q = proj(qk, "q") * (1.0 / jnp.sqrt(hd))
-        k = proj(qk, "k")
-        v = proj(tokens, "v")
-        logits = jnp.einsum("wthd,wshd->whts", q, k)
-        neg = jnp.asarray(-1e9, logits.dtype)
-        logits = jnp.where(mask[:, None, None, :], logits, neg)
-        attn = jax.nn.softmax(logits, axis=-1)
-        out = jnp.einsum("whts,wshd->wthd", attn, v)
-        out = nn.Dense(d, name="out")(out.reshape(tokens.shape))
+        q_f = nn.Dense(d, name="q")(qk)
+        k_f = nn.Dense(d, name="k")(qk)
+        v_f = nn.Dense(d, name="v")(tokens)
+        if self.use_pallas:
+            from ..ops.pallas_attention import pallas_window_attention
+            out = pallas_window_attention(q_f, k_f, v_f, mask, h)
+        else:
+            q = q_f.reshape(q_f.shape[:-1] + (h, hd)) / jnp.sqrt(hd)
+            k = k_f.reshape(k_f.shape[:-1] + (h, hd))
+            v = v_f.reshape(v_f.shape[:-1] + (h, hd))
+            logits = jnp.einsum("wthd,wshd->whts", q, k)
+            neg = jnp.asarray(-1e9, logits.dtype)
+            logits = jnp.where(mask[:, None, None, :], logits, neg)
+            attn = jax.nn.softmax(logits, axis=-1)
+            out = jnp.einsum("whts,wshd->wthd", attn, v).reshape(
+                tokens.shape)
+        out = nn.Dense(d, name="out")(out)
         x = nn.LayerNorm(epsilon=LN_EPS, name="norm1")(tokens + out)
         f = nn.Dense(self.ffn_dim, name="ffn1")(x)
         f = nn.Dense(d, name="ffn2")(nn.gelu(f))
@@ -128,7 +137,9 @@ class SST(nn.Module):
                               voxel_size=c.voxel_size, pc_range=c.pc_range)
         self.input_proj = nn.Dense(c.d_model)
         self.layers = [
-            WindowMSALayer(c.num_heads, c.ffn_dim, name=f"block{i}_shift{s}")
+            WindowMSALayer(c.num_heads, c.ffn_dim,
+                           use_pallas=c.use_pallas_attention,
+                           name=f"block{i}_shift{s}")
             for i in range(c.num_blocks) for s in (0, 1)]
 
     def __call__(self, points: jax.Array, mask: jax.Array) -> jax.Array:

@@ -1,0 +1,87 @@
+"""Fused masked window attention — Pallas TPU kernel.
+
+The SST hot loop (``models/sst.py::WindowMSALayer``) runs masked MHA over
+``[n_windows, capacity, C]`` tokens. The jnp formulation materializes the
+``[W, H, T, T]`` logit tensor in HBM; this kernel keeps each window's
+attention entirely in VMEM: one grid step per window computes QK^T, the
+masked softmax, and the PV product without ever writing the logits out —
+an HBM-traffic win that grows with window capacity.
+
+Numerically identical to the jnp path (same masking and softmax);
+correctness is tested in interpreter mode against
+``jnp_window_attention`` (``tests/test_pallas_attention.py``).
+"""
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+
+NEG = -1e9
+
+
+def _attn_kernel(q_ref, k_ref, v_ref, mask_ref, o_ref, *, num_heads: int):
+    """One window: refs are [1, T, C] blocks (mask [1, T, 1])."""
+    q = q_ref[0].astype(jnp.float32)
+    k = k_ref[0].astype(jnp.float32)
+    v = v_ref[0].astype(jnp.float32)
+    m = mask_ref[0].astype(jnp.float32)      # [T, 1]; 1 = valid key
+    t, c = q.shape
+    hd = c // num_heads
+    scale = 1.0 / (hd ** 0.5)
+    bias = (m.T - 1.0) * (-NEG)              # 0 valid / NEG invalid
+
+    for h in range(num_heads):
+        sl = slice(h * hd, (h + 1) * hd)
+        logits = jnp.dot(q[:, sl] * scale, k[:, sl].T,
+                         preferred_element_type=jnp.float32)
+        logits = logits + bias
+        lmax = jnp.max(logits, axis=-1, keepdims=True)
+        p = jnp.exp(logits - lmax)
+        denom = jnp.maximum(jnp.sum(p, axis=-1, keepdims=True), 1e-20)
+        o_ref[0, :, sl] = (jnp.dot(p, v[:, sl],
+                                   preferred_element_type=jnp.float32)
+                           / denom).astype(o_ref.dtype)
+
+
+def pallas_window_attention(q: jax.Array, k: jax.Array, v: jax.Array,
+                            mask: jax.Array, num_heads: int,
+                            interpret: bool = False) -> jax.Array:
+    """q/k/v: [W, T, C]; mask: [W, T] bool -> [W, T, C].
+
+    Grid = one program per window; each window's q/k/v/mask block lives in
+    VMEM for the whole computation.
+    """
+    W, T, C = q.shape
+    mask_f = mask[..., None].astype(q.dtype)
+    kern = functools.partial(_attn_kernel, num_heads=num_heads)
+    return pl.pallas_call(
+        kern,
+        grid=(W,),
+        in_specs=[
+            pl.BlockSpec((1, T, C), lambda w: (w, 0, 0)),
+            pl.BlockSpec((1, T, C), lambda w: (w, 0, 0)),
+            pl.BlockSpec((1, T, C), lambda w: (w, 0, 0)),
+            pl.BlockSpec((1, T, 1), lambda w: (w, 0, 0)),
+        ],
+        out_specs=pl.BlockSpec((1, T, C), lambda w: (w, 0, 0)),
+        out_shape=jax.ShapeDtypeStruct((W, T, C), q.dtype),
+        interpret=interpret,
+    )(q, k, v, mask_f)
+
+
+def jnp_window_attention(q: jax.Array, k: jax.Array, v: jax.Array,
+                         mask: jax.Array, num_heads: int) -> jax.Array:
+    """Reference jnp path (same math as models/sst.WindowMSALayer core)."""
+    W, T, C = q.shape
+    hd = C // num_heads
+    qh = q.reshape(W, T, num_heads, hd) * (1.0 / hd ** 0.5)
+    kh = k.reshape(W, T, num_heads, hd)
+    vh = v.reshape(W, T, num_heads, hd)
+    logits = jnp.einsum("wthd,wshd->whts", qh, kh)
+    logits = jnp.where(mask[:, None, None, :], logits, NEG)
+    p = jax.nn.softmax(logits, axis=-1)
+    out = jnp.einsum("whts,wshd->wthd", p, vh)
+    return out.reshape(W, T, C)

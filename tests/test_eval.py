@@ -101,3 +101,104 @@ def test_full_evaluator(tmp_path):
     back = read_bin(metrics["results_bin"])
     assert len(back) == 2 * 10      # 2 tracklets x 10 frames
     assert {r["context_name"] for r in back} == {"segment-0000"}
+
+
+def test_online_tuning_improves_fit():
+    """Tuning the latent against observed occupancy must reduce the
+    observation BCE and move predictions toward the labels."""
+    from objectcentricocccompletion_tpu.evalx.online_tuning import (
+        observation_targets, tune_latent)
+    import jax.numpy as jnp
+    rng = np.random.RandomState(0)
+    L, K, D = 3, 64, 16
+    latent = jnp.asarray(rng.randn(L, D).astype(np.float32)) * 0.01
+    queries = jnp.asarray(rng.uniform(-1, 1, (L, K, 3)).astype(np.float32))
+    labels = jnp.asarray((rng.rand(L, K) < 0.5).astype(np.float32))
+    mask = jnp.ones((L, K))
+    w = jnp.asarray(rng.randn(D).astype(np.float32)) * 0.1
+
+    def decode(lat, q):
+        # simple differentiable decoder: logit = lat . w + sum(q)
+        return (lat @ w)[:, None] + q.sum(-1) * 0.0 + (
+            lat[:, :3][:, None, :] * q).sum(-1)
+
+    def bce(lat):
+        lg = decode(lat, queries)
+        return float(jnp.mean(jnp.maximum(lg, 0) - lg * labels
+                              + jnp.log1p(jnp.exp(-jnp.abs(lg)))))
+
+    before = bce(latent)
+    tuned = tune_latent(decode, latent, queries, labels, mask,
+                        num_iters=50, lr=0.05)
+    after = bce(tuned)
+    assert after < before - 0.01, (before, after)
+
+
+def test_observation_targets():
+    from objectcentricocccompletion_tpu.evalx.online_tuning import (
+        observation_targets)
+    import jax.numpy as jnp
+    # one RoI, one point at local (0.05, 0.05, 0.05); voxel 0.2
+    local = jnp.asarray([[[0.05, 0.05, 0.05]]])
+    mask = jnp.asarray([[True]])
+    sizes = jnp.asarray([[2.0, 2.0, 2.0]])
+    q_in = jnp.asarray([[[0.08, 0.02, 0.03],      # same voxel -> occupied
+                         [0.5, 0.5, 0.5]]])       # different -> free
+    t = observation_targets(local, mask, sizes, 0.2, q_in)
+    assert np.asarray(t).tolist() == [[1.0, 0.0]]
+
+
+def test_tta_flip_involution_and_merge():
+    from objectcentricocccompletion_tpu.evalx import tta
+    from tests.test_model import make_batch
+    cfg = tiny_config()
+    batch = make_batch(cfg, seed=3)
+    # flip twice = identity
+    b2 = tta.flip_batch(tta.flip_batch(batch, True, True), True, True)
+    np.testing.assert_allclose(np.asarray(b2.points),
+                               np.asarray(batch.points), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(b2.rois[..., :6]),
+                               np.asarray(batch.rois[..., :6]), atol=1e-5)
+    # unflip inverts the box flip exactly (mod 2pi on yaw)
+    fb = tta.flip_batch(batch, True, False)
+    back = tta.unflip_boxes(fb.rois, True, False)
+    np.testing.assert_allclose(np.asarray(back[..., :6]),
+                               np.asarray(batch.rois[..., :6]), atol=1e-5)
+    dyaw = np.asarray(back[..., 6] - batch.rois[..., 6])
+    assert np.allclose(np.abs((dyaw + np.pi) % (2 * np.pi) - np.pi), 0,
+                       atol=1e-5)
+
+
+def test_tta_merge_identical_predictions():
+    """If the model is flip-equivariant-trivial (constant boxes per variant
+    after unflip), merging must return them unchanged."""
+    from objectcentricocccompletion_tpu.evalx import tta
+    rng = np.random.RandomState(0)
+    boxes = jnp.asarray(np.concatenate(
+        [rng.uniform(-5, 5, (2, 4, 3)), rng.uniform(1, 3, (2, 4, 3)),
+         rng.uniform(-np.pi, np.pi, (2, 4, 1))], -1).astype(np.float32))
+    scores = jnp.asarray(rng.rand(2, 4).astype(np.float32))
+    out, s = tta.merge_boxes([boxes] * 4, [scores] * 4)
+    np.testing.assert_allclose(np.asarray(out[..., :6]),
+                               np.asarray(boxes[..., :6]), atol=1e-5)
+    dyaw = np.asarray(out[..., 6] - boxes[..., 6])
+    assert np.allclose(np.abs((dyaw + np.pi) % (2 * np.pi) - np.pi), 0,
+                       atol=1e-4)
+    np.testing.assert_allclose(np.asarray(s), np.asarray(scores), atol=1e-6)
+
+
+def test_tta_end_to_end_model():
+    from objectcentricocccompletion_tpu.evalx import tta
+    from tests.test_model import make_batch
+    cfg = tiny_config()
+    batch = make_batch(cfg, seed=4)
+    model = OcOccNetWithLoss(cfg)
+    variables = model.init({"params": jax.random.PRNGKey(0)}, batch,
+                           train=False)
+
+    def apply_fn(b):
+        return model.apply(variables, b, method=model.predict)
+
+    out = tta.predict_tta(apply_fn, batch)
+    assert out["boxes"].shape == batch.rois.shape
+    assert np.isfinite(np.asarray(out["boxes"])).all()

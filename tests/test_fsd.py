@@ -86,3 +86,36 @@ def test_fsd_forward_and_loss():
     g = jax.grad(loss_fn)(variables["params"])
     assert all(bool(jnp.isfinite(x).all())
                for x in jax.tree_util.tree_leaves(g))
+
+
+def test_two_stage_fsd_forward():
+    from objectcentricocccompletion_tpu.models.fsd_two_stage import (
+        TwoStageFSD, tiny_two_stage_config)
+    cfg = tiny_two_stage_config()
+    points, mask, boxes, labels, valid = make_fsd_frame(cfg.fsd, seed=1)
+    model = TwoStageFSD(cfg)
+    variables = model.init(jax.random.PRNGKey(0), points, mask)
+    out = model.apply(variables, points, mask)
+    R = cfg.fsd.max_clusters
+    assert out["refined_boxes"].shape == (R, 7)
+    assert out["cls2"].shape == (R,)
+    assert np.isfinite(np.asarray(out["refined_boxes"])).all()
+    # at least one nonempty refined proposal on a populated scene
+    assert int(np.asarray(out["roi_nonempty"]).sum()) >= 1
+
+
+def test_fsdv2_virtual_voxels():
+    import dataclasses
+    cfg = dataclasses.replace(tiny_fsd_config(), use_clustering=False)
+    points, mask, boxes, labels, valid = make_fsd_frame(cfg, seed=2)
+    model = FSD(cfg)
+    variables = model.init(jax.random.PRNGKey(0), points, mask)
+    out = model.apply(variables, points, mask)
+    losses = fsd_loss(out, points, boxes, labels, valid)
+    assert np.isfinite(float(losses["loss"]))
+    # virtual voxels produce at least as many instances as CC clustering
+    cfg_cc = tiny_fsd_config()
+    out_cc = FSD(cfg_cc).apply(
+        FSD(cfg_cc).init(jax.random.PRNGKey(0), points, mask), points, mask)
+    assert (int(np.asarray(out["cluster_valid"]).sum())
+            >= int(np.asarray(out_cc["cluster_valid"]).sum()))
