@@ -117,6 +117,9 @@ class TrackletDataset:
                  mirror_occ: bool = False):
         self.cfg = cfg
         self.training = training
+        # augmentation can be toggled off mid-training
+        # (DisableAugmentationHook, core/hook/fsd_hooks.py:7-54)
+        self.augment = training
         self.mirror_occ = mirror_occ
         self.occ_anno_root = occ_anno_root
         self.class_names = list(class_names)
@@ -287,7 +290,7 @@ class TrackletDataset:
                     gt_valid[i] = True
 
         # --- proposal noise (TrackletNoise, per-frame iid uniform) ---
-        if self.training:
+        if self.training and self.augment:
             boxes = boxes.copy()
             boxes[:, 0:3] += rng.uniform(-1, 1, (Lf, 3)) * [0.2, 0.2, 0.1]
             boxes[:, 3:6] += rng.uniform(-1, 1, (Lf, 3)) * [0.2, 0.2, 0.1]
@@ -308,7 +311,7 @@ class TrackletDataset:
             mask[i, :n] = True
 
         # --- global flips / rot / scale / trans (train only) ---
-        if self.training:
+        if self.training and self.augment:
             if rng.rand() < 0.5:   # horizontal: y -> -y, yaw -> pi - yaw
                 points[..., 1] *= -1
                 for b in (boxes, gt_boxes):

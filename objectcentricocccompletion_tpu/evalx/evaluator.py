@@ -226,6 +226,8 @@ class Evaluator:
                 os.path.join(d, f"1_{rec.id}.bin"))
 
     def _eval_occ_one(self, i, rec, padded, pred, T, acc):
+        if self.ds.occ_anno_root is None:
+            return
         ci = self.ds.select_candidate(rec, self.ds.candidates[i])
         if ci < 0:
             return

@@ -1,0 +1,113 @@
+"""KITTI-protocol 3D detection AP (numpy).
+
+Rebuild of the reference's KITTI evaluation
+(``mmdet3d/core/evaluation/kitti_utils/eval.py``, 846 LoC — used by its
+KITTI/Waymo-kitti-format datasets): per class and difficulty, R40
+interpolated average precision with 3D (or BEV) rotated IoU matching,
+ignore handling for harder-difficulty GT, and the standard
+easy/moderate/hard gating by box height / occlusion / truncation.
+
+Boxes use this framework's LiDAR layout [x, y, z_bottom, w, l, h, yaw].
+"""
+from __future__ import annotations
+
+import numpy as np
+
+from ..data import np_geometry as npg
+
+DIFFICULTY_PARAMS = {   # min_height(px), max_occlusion, max_truncation
+    0: (40, 0, 0.15),   # easy
+    1: (25, 1, 0.30),   # moderate
+    2: (25, 2, 0.50),   # hard
+}
+IOU_THRESH = {"Car": 0.7, "Pedestrian": 0.5, "Cyclist": 0.5}
+
+
+def _pairwise_iou3d(a: np.ndarray, b: np.ndarray) -> np.ndarray:
+    out = np.zeros((len(a), len(b)))
+    for i in range(len(a)):
+        out[i] = npg.aligned_iou_3d(np.repeat(a[i:i + 1], len(b), 0), b)
+    return out
+
+
+def gt_difficulty(heights_px, occlusions, truncations) -> np.ndarray:
+    """KITTI difficulty index per GT (3 = ignored at every level)."""
+    out = np.full(len(heights_px), 3, np.int32)
+    for d in (2, 1, 0):
+        hmin, omax, tmax = DIFFICULTY_PARAMS[d]
+        ok = (heights_px >= hmin) & (occlusions <= omax) \
+            & (truncations <= tmax)
+        out[ok] = d
+    return out
+
+
+def eval_class(pred_boxes_list, pred_scores_list, gt_boxes_list,
+               gt_difficulty_list, difficulty: int,
+               iou_thresh: float) -> float:
+    """AP_R40 over a list of frames.
+
+    GT with difficulty <= d are counted; harder GT are "ignored": matching
+    predictions are neither TP nor FP (KITTI dontcare semantics)."""
+    scores, kinds = [], []
+    num_gt = 0
+    for pb, ps, gb, gd in zip(pred_boxes_list, pred_scores_list,
+                              gt_boxes_list, gt_difficulty_list):
+        counted = gd <= difficulty
+        num_gt += int(counted.sum())
+        if len(pb) == 0:
+            continue
+        order = np.argsort(-ps)
+        used = np.zeros(len(gb), bool)
+        iou = _pairwise_iou3d(pb, gb) if len(gb) else \
+            np.zeros((len(pb), 0))
+        for pi in order:
+            best, best_iou = -1, iou_thresh
+            for gi in range(len(gb)):
+                if used[gi]:
+                    continue
+                if iou[pi, gi] >= best_iou:
+                    best, best_iou = gi, iou[pi, gi]
+            if best >= 0:
+                used[best] = True
+                kinds.append(1 if counted[best] else 2)  # TP or ignored
+            else:
+                kinds.append(0)                          # FP
+            scores.append(ps[pi])
+    if num_gt == 0:
+        return 0.0
+    scores = np.asarray(scores)
+    kinds = np.asarray(kinds)
+    order = np.argsort(-scores)
+    kinds = kinds[order]
+    keep = kinds != 2
+    tp = np.cumsum(kinds[keep] == 1)
+    fp = np.cumsum(kinds[keep] == 0)
+    recall = tp / num_gt
+    precision = tp / np.maximum(tp + fp, 1)
+    # monotone envelope
+    for i in range(len(precision) - 2, -1, -1):
+        precision[i] = max(precision[i], precision[i + 1])
+    # R40: sample precision at 40 recall positions 1/40 .. 40/40
+    ap = 0.0
+    for r in np.linspace(1 / 40, 1.0, 40):
+        idx = np.searchsorted(recall, r)
+        ap += (precision[idx] if idx < len(precision) else 0.0) / 40
+    return float(ap)
+
+
+def kitti_eval(predictions: list, ground_truths: list,
+               classes=("Car",)) -> dict:
+    """predictions: per frame dict(boxes [N, 7], scores [N], labels [N]);
+    ground_truths: per frame dict(boxes [M, 7], labels [M], difficulty [M]).
+    Returns {"<cls>_3d_<easy|moderate|hard>": AP_R40}."""
+    out = {}
+    names = ["easy", "moderate", "hard"]
+    for ci, cls in enumerate(classes):
+        pb = [p["boxes"][p["labels"] == ci] for p in predictions]
+        ps = [p["scores"][p["labels"] == ci] for p in predictions]
+        gb = [g["boxes"][g["labels"] == ci] for g in ground_truths]
+        gd = [g["difficulty"][g["labels"] == ci] for g in ground_truths]
+        for d in (0, 1, 2):
+            out[f"{cls}_3d_{names[d]}"] = eval_class(
+                pb, ps, gb, gd, d, IOU_THRESH.get(cls, 0.5))
+    return out

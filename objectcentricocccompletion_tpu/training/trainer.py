@@ -76,7 +76,7 @@ class MetricLogger:
 def train(cfg: OcOccNetConfig, dataset, work_dir: str,
           total_steps: int | None = None, ckpt_interval: int = 1000,
           log_interval: int = 50, resume: bool = True, seed: int = 0,
-          devices=None):
+          devices=None, hooks=None):
     """Full training run; returns the final TrainState."""
     mesh = make_mesh(devices)
     n_dev = int(mesh.devices.size)
@@ -105,6 +105,8 @@ def train(cfg: OcOccNetConfig, dataset, work_dir: str,
     start = int(state.step)
     t_last = time.time()
     for step in range(start, total_steps):
+        if hooks is not None:
+            hooks.on_step(step)
         batch = shard_batch(next(loader) if step > start else sample, mesh)
         state, aux = step_fn(state, batch, rng)
         if (step + 1) % log_interval == 0:

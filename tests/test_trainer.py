@@ -57,3 +57,26 @@ def test_train_run_and_resume(tmp_path):
     state2 = train(cfg, ds, work, total_steps=6, ckpt_interval=3,
                    devices=jax.devices()[:2])
     assert int(state2.step) == 6
+
+
+def test_hooks_disable_augmentation(tmp_path):
+    from objectcentricocccompletion_tpu.training.hooks import (
+        HookList, disable_augmentation_hook, loss_weight_warmup)
+    cfg = tiny_config()
+    paths = write_synthetic_dataset(str(tmp_path / "ds"), num_tracklets=2,
+                                    track_len=10)
+    ds = TrackletDataset(cfg=cfg, min_tracklet_points=10, **paths)
+    assert ds.augment
+    hooks = HookList()
+    hooks.hooks.append(disable_augmentation_hook(ds, at_step=3))
+    hooks.on_step(0)
+    assert ds.augment
+    hooks.on_step(3)
+    assert not ds.augment
+    # augmented-off samples are deterministic apart from sampling rngs
+    s1 = ds.build_sample(0, np.random.RandomState(0))
+    s2 = ds.build_sample(0, np.random.RandomState(0))
+    np.testing.assert_array_equal(s1["rois"], s2["rois"])
+
+    w = loss_weight_warmup(10)
+    assert w(5) == 0.0 and w(10) == 1.0
