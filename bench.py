@@ -41,7 +41,6 @@ def main():
     with jax.default_device(cpu):
         model, state, tx, _ = create_train_state(
             cfg, jax.random.PRNGKey(0), batch, total_steps=1000)
-    batch = shard_batch(batch, mesh)
     rng = jax.random.PRNGKey(1)
 
     # BENCH_FLAT=1 packs the state into single buffers (parallel/flat.py);
@@ -57,13 +56,20 @@ def main():
         state = jax.device_put(state)
         step = make_train_step(model, tx, mesh)
 
+    # Measure the production feeding pattern (what training actually does):
+    # a fresh host batch is staged to device every step, overlapping the
+    # previous step's compute.
+    host_batches = [synthetic_batch(cfg, batch_size=global_batch, seed=s)
+                    for s in range(4)]
+
     # warmup / compile
-    state, aux = step(state, batch, rng)
+    state, aux = step(state, shard_batch(host_batches[0], mesh), rng)
     jax.block_until_ready(aux["loss"])
 
-    iters = int(os.environ.get("BENCH_ITERS", "20"))
+    iters = int(os.environ.get("BENCH_ITERS", "50"))
     t0 = time.perf_counter()
-    for _ in range(iters):
+    for i in range(iters):
+        batch = shard_batch(host_batches[i % len(host_batches)], mesh)
         state, aux = step(state, batch, rng)
     jax.block_until_ready(aux["loss"])
     dt = (time.perf_counter() - t0) / iters

@@ -29,12 +29,21 @@ def collate(samples: list[dict]) -> TrackletBatch:
 
 
 class TrainLoader:
-    """Infinite shuffled loader over a TrackletDataset."""
+    """Infinite shuffled loader over a TrackletDataset.
 
-    def __init__(self, dataset: TrackletDataset, batch_size: int, seed: int = 0):
+    Multi-host SPMD: pass ``num_shards=jax.process_count()`` and
+    ``shard_id=jax.process_index()`` — every host draws the same global
+    shuffle (shared seed) and takes its interleaved slice, replacing the
+    reference's ``DistributedSampler`` (``apis/samplers.py:13-99``).
+    """
+
+    def __init__(self, dataset: TrackletDataset, batch_size: int,
+                 seed: int = 0, num_shards: int = 1, shard_id: int = 0):
         self.ds = dataset
         self.batch_size = batch_size
         self.rng = np.random.RandomState(seed)
+        self.num_shards = num_shards
+        self.shard_id = shard_id
         self._order = []
 
     def __iter__(self):
@@ -44,7 +53,8 @@ class TrainLoader:
         samples = []
         while len(samples) < self.batch_size:
             if not self._order:
-                self._order = list(self.rng.permutation(len(self.ds)))
+                order = list(self.rng.permutation(len(self.ds)))
+                self._order = order[self.shard_id::self.num_shards]
             idx = self._order.pop()
             samples.append(self.ds.build_sample(idx, self.rng))
         return collate(samples)
@@ -81,9 +91,12 @@ def write_synthetic_dataset(root: str, num_tracklets: int = 4,
             pose_list.append(p)
             poses[ts[i]] = p.astype(np.float64)
 
-        # GT boxes in world; proposal = noisy GT, both stored in ego frames
+        # GT boxes in world; proposal = noisy GT, both stored in ego frames.
+        # Keep z inside the point-range filter (POINT_RANGE z in
+        # [-3.99, 7.99]) so pose-transformed points survive the pipeline.
         size = np.abs(rng.normal([4.5, 2.0, 1.7], 0.3))
-        world_ctr = rng.uniform(-10, 10, 3) + np.array([0, 0, 0.0])
+        world_ctr = np.concatenate([rng.uniform(-10, 10, 2),
+                                    rng.uniform(-1.5, 0.5, 1)])
         world_yaw = rng.uniform(-np.pi, np.pi)
         gt_boxes, pd_boxes = [], []
         for i in range(T):

@@ -79,3 +79,38 @@ def test_determinism(dataset):
     s2 = ds.build_sample(0, np.random.RandomState(7))
     np.testing.assert_array_equal(s1["points"], s2["points"])
     np.testing.assert_array_equal(s1["rois"], s2["rois"])
+
+
+def test_loader_sharding(dataset):
+    """Shards partition the shuffled index stream disjointly."""
+    cfg, ds = dataset
+    import objectcentricocccompletion_tpu.data.loader as L
+    a = L.TrainLoader(ds, batch_size=1, seed=5, num_shards=2, shard_id=0)
+    b = L.TrainLoader(ds, batch_size=1, seed=5, num_shards=2, shard_id=1)
+    next(a), next(b)
+    # after one epoch's draw, the index pools are disjoint and cover all
+    seen_a = set(a._order)
+    seen_b = set(b._order)
+    assert not (seen_a & seen_b)
+
+
+def test_all_samples_keep_points(tmp_path_factory):
+    """Every synthetic tracklet must survive the range filter with points
+    pooled into its RoIs (regression: out-of-range z once emptied whole
+    samples silently)."""
+    import jax.numpy as jnp
+    from objectcentricocccompletion_tpu.ops.roi_pool import roi_pool
+    root = tmp_path_factory.mktemp("range_ds")
+    cfg = tiny_config()
+    paths = write_synthetic_dataset(str(root), num_tracklets=6,
+                                    track_len=12, seed=11)
+    ds = TrackletDataset(cfg=cfg, min_tracklet_points=10, **paths)
+    rng = np.random.RandomState(0)
+    for i in range(len(ds)):
+        s = ds.build_sample(i, rng)
+        assert s["points_mask"].sum() > 0, f"sample {i} lost all points"
+        info = roi_pool(jnp.asarray(s["points"][None, ..., :3]),
+                        jnp.asarray(s["points_mask"][None]),
+                        jnp.asarray(s["rois"][None]), cfg.extra_wlh)
+        nonempty = np.asarray(info.mask.any(-1))[0]
+        assert nonempty.mean() > 0.8, f"sample {i}: {nonempty.mean()}"
