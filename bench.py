@@ -62,8 +62,13 @@ def main():
     host_batches = [synthetic_batch(cfg, batch_size=global_batch, seed=s)
                     for s in range(4)]
 
-    # warmup / compile
-    state, aux = step(state, shard_batch(host_batches[0], mesh), rng)
+    # warmup: first call compiles; a further batch of steps lets the
+    # runtime/interconnect reach steady state before timing (measured: the
+    # first ~tens of steps after compile run well below steady throughput)
+    warmup = int(os.environ.get("BENCH_WARMUP", "30"))
+    for i in range(warmup):
+        batch = shard_batch(host_batches[i % len(host_batches)], mesh)
+        state, aux = step(state, batch, rng)
     jax.block_until_ready(aux["loss"])
 
     iters = int(os.environ.get("BENCH_ITERS", "50"))

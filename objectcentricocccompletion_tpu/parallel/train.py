@@ -34,6 +34,14 @@ def make_mesh(devices=None, axis_name: str = "data") -> Mesh:
     return Mesh(np.asarray(devices), (axis_name,))
 
 
+def make_mesh_2d(data: int, model: int, devices=None) -> Mesh:
+    """[data, model] mesh for DP x TP (tensor-parallel large MLPs)."""
+    devices = devices if devices is not None else jax.devices()
+    assert len(devices) >= data * model
+    grid = np.asarray(devices[:data * model]).reshape(data, model)
+    return Mesh(grid, ("data", "model"))
+
+
 def batch_sharding(mesh: Mesh) -> NamedSharding:
     """Shard every batch array along its leading (tracklet) dim."""
     return NamedSharding(mesh, P("data"))
@@ -41,6 +49,28 @@ def batch_sharding(mesh: Mesh) -> NamedSharding:
 
 def replicated(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P())
+
+
+def param_shardings(params, mesh: Mesh, min_dim: int = 1024):
+    """Tensor-parallel parameter layout: 2D kernels with a wide output dim
+    shard column-wise over the 'model' axis (the OcOccNet fusion/decoder
+    MLPs are 1536->2048-wide — the only tensors worth sharding at this
+    model size); everything else replicates. XLA inserts the all-gathers.
+
+    The rule depends only on leaf shape, so the same function lays out the
+    optimizer moments (which mirror parameter shapes)."""
+    if "model" not in mesh.axis_names:
+        return jax.tree_util.tree_map(lambda _: replicated(mesh), params)
+    msize = mesh.shape["model"]
+
+    def rule(leaf):
+        shape = getattr(leaf, "shape", ())
+        if (len(shape) == 2 and shape[1] >= min_dim
+                and shape[1] % msize == 0):
+            return NamedSharding(mesh, P(None, "model"))
+        return replicated(mesh)
+
+    return jax.tree_util.tree_map(rule, params)
 
 
 def create_train_state(cfg: OcOccNetConfig, rng: jax.Array,
@@ -55,11 +85,21 @@ def create_train_state(cfg: OcOccNetConfig, rng: jax.Array,
     return model, state, tx, schedule
 
 
-def make_train_step(model: OcOccNetWithLoss, tx, mesh: Mesh):
-    """Returns a jitted (state, batch, rng) -> (state, metrics) step with
-    params replicated and the batch sharded over the data axis."""
+def make_train_step(model: OcOccNetWithLoss, tx, mesh: Mesh,
+                    state: TrainState | None = None,
+                    tp_min_dim: int = 1024):
+    """Returns a jitted (state, batch, rng) -> (state, metrics) step: batch
+    sharded over 'data'; params replicated on a 1D mesh, or tensor-parallel
+    over 'model' on a 2D mesh (pass ``state`` so the parameter layout can be
+    derived — wide MLP kernels shard column-wise, see param_shardings)."""
     bsh = batch_sharding(mesh)
     rsh = replicated(mesh)
+    if state is not None and "model" in mesh.axis_names:
+        state_sh = TrainState(
+            rsh, param_shardings(state.params, mesh, tp_min_dim),
+            param_shardings(state.opt_state, mesh, tp_min_dim))
+    else:
+        state_sh = rsh
 
     def step_fn(state: TrainState, batch: TrackletBatch, rng: jax.Array):
         def loss_fn(params):
@@ -78,9 +118,9 @@ def make_train_step(model: OcOccNetWithLoss, tx, mesh: Mesh):
 
     return jax.jit(
         step_fn,
-        in_shardings=(rsh, jax.tree_util.tree_map(lambda _: bsh,
-                                                  _batch_struct()), rsh),
-        out_shardings=(rsh, rsh),
+        in_shardings=(state_sh, jax.tree_util.tree_map(lambda _: bsh,
+                                                       _batch_struct()), rsh),
+        out_shardings=(state_sh, rsh),
         donate_argnums=(0,),
     )
 

@@ -96,3 +96,32 @@ def test_flat_state_step_matches_regular():
                                rtol=1e-5)
     st2 = unpack2(packed2)
     assert int(st2.step) == 1
+
+
+def test_dp_tp_2d_mesh_step():
+    """DP x TP: wide kernels shard over the 'model' axis on a [4, 2] mesh;
+    one step must run and match the replicated result."""
+    from objectcentricocccompletion_tpu.parallel.train import (
+        make_mesh_2d, param_shardings)
+    from jax.sharding import PartitionSpec as P
+    cfg = tiny_config()
+    batch = synthetic_batch(cfg, batch_size=8, seed=9)
+    model, state_a, tx, _ = create_train_state(
+        cfg, jax.random.PRNGKey(0), batch, total_steps=100)
+    _, state_b, _, _ = create_train_state(
+        cfg, jax.random.PRNGKey(0), batch, total_steps=100)
+
+    mesh2d = make_mesh_2d(4, 2)
+    # tiny config kernels are small; lower the shard threshold via the
+    # public rule by checking at least the layout function behaves
+    psh = param_shardings(state_a.params, mesh2d, min_dim=32)
+    specs = {s.spec for s in jax.tree_util.tree_leaves(psh)}
+    assert P(None, "model") in specs       # something actually shards
+
+    step2d = make_train_step(model, tx, mesh2d, state=state_a)
+    step1d = make_train_step(model, tx, make_mesh())
+    rng = jax.random.PRNGKey(1)
+    _, aux2 = step2d(state_a, shard_batch(batch, mesh2d), rng)
+    _, aux1 = step1d(state_b, shard_batch(batch, make_mesh()), rng)
+    np.testing.assert_allclose(float(aux2["loss"]), float(aux1["loss"]),
+                               rtol=3e-4)
