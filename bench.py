@@ -29,7 +29,8 @@ def main():
     from objectcentricocccompletion_tpu.parallel.train import (
         create_train_state, make_mesh, make_train_step, shard_batch)
 
-    cfg = OcOccNetConfig()
+    cfg = OcOccNetConfig(compute_dtype=os.environ.get("BENCH_DTYPE",
+                                                      "bfloat16"))
     mesh = make_mesh(jax.devices())
     n_dev = mesh.devices.size
     global_batch = cfg.batch_size * n_dev

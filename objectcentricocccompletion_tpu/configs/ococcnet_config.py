@@ -17,6 +17,10 @@ class OcOccNetConfig:
     # no occupancy branch, no temporal transformer)
     variant: str = "ococc"
 
+    # compute dtype for the MLP/attention stacks ("float32" or "bfloat16");
+    # params, LayerNorm statistics, softmax, and losses stay fp32
+    compute_dtype: str = "float32"
+
     # static shapes
     batch_size: int = 4                 # tracklets per device (samples_per_gpu)
     reg_len: int = 32                   # frames per tracklet at train

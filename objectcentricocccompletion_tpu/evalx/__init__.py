@@ -1,1 +1,2 @@
-from . import occ_iou, waymo_bin  # noqa: F401
+from . import (evaluator, kitti_eval, occ_iou, online_tuning, tta,  # noqa
+               waymo_bin, waymo_metrics)

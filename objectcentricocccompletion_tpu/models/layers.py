@@ -24,17 +24,20 @@ class Mlp(nn.Module):
     is_head: bool = False
     act: str = "gelu"
     dropout: float = 0.0
+    dtype: jnp.dtype = jnp.float32   # compute dtype; params stay fp32
 
     @nn.compact
     def __call__(self, x: jax.Array, *, train: bool = False) -> jax.Array:
         act = activation(self.act)
         n = len(self.hidden_dims)
+        x = x.astype(self.dtype)
         for i, c in enumerate(self.hidden_dims):
             if i == n - 1 and self.is_head:
-                x = nn.Dense(c, use_bias=True)(x)
+                x = nn.Dense(c, use_bias=True, dtype=self.dtype)(x)
             else:
-                x = nn.Dense(c, use_bias=False)(x)
-                x = nn.LayerNorm(epsilon=LN_EPS)(x)
+                x = nn.Dense(c, use_bias=False, dtype=self.dtype)(x)
+                x = nn.LayerNorm(epsilon=LN_EPS, dtype=jnp.float32)(
+                    x).astype(self.dtype)
                 x = act(x)
                 if self.dropout > 0:
                     x = nn.Dropout(self.dropout, deterministic=not train)(x)
@@ -47,14 +50,16 @@ class VfeLayer(nn.Module):
     out_channels: int
     act: str = "gelu"
     dropout: float = 0.0
+    dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x: jax.Array, *, train: bool = False) -> jax.Array:
         if self.dropout > 0:
             x = nn.Dropout(self.dropout, deterministic=not train)(x)
-        x = nn.Dense(self.out_channels, use_bias=False)(x)
-        x = nn.LayerNorm(epsilon=LN_EPS)(x)
-        return activation(self.act)(x)
+        x = nn.Dense(self.out_channels, use_bias=False,
+                     dtype=self.dtype)(x.astype(self.dtype))
+        x = nn.LayerNorm(epsilon=LN_EPS, dtype=jnp.float32)(x)
+        return activation(self.act)(x).astype(self.dtype)
 
 
 def sinusoidal_position_encoding(positions: jax.Array, d_model: int

@@ -27,6 +27,7 @@ class OccDecoder(nn.Module):
     act: str = "gelu"
     dropout: float = 0.1
     pos_thresh: float = 0.5
+    dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, latent: jax.Array, queries: jax.Array, *,
@@ -37,17 +38,21 @@ class OccDecoder(nn.Module):
         pos = nerf_position_encoding(queries, self.num_freqs)
 
         c0 = self.mlp_dims[0]
-        lat0 = nn.Dense(c0, use_bias=False, name="in_latent")(latent)
-        pos0 = nn.Dense(c0, use_bias=False, name="in_pos")(pos)
+        lat0 = nn.Dense(c0, use_bias=False, name="in_latent",
+                        dtype=self.dtype)(latent.astype(self.dtype))
+        pos0 = nn.Dense(c0, use_bias=False, name="in_pos",
+                        dtype=self.dtype)(pos.astype(self.dtype))
         x = lat0[..., None, :] + pos0
-        x = nn.LayerNorm(epsilon=LN_EPS, name="in_norm")(x)
+        x = nn.LayerNorm(epsilon=LN_EPS, dtype=jnp.float32,
+                         name="in_norm")(x).astype(self.dtype)
         x = activation(self.act)(x)
         if self.dropout > 0:
             x = nn.Dropout(self.dropout, deterministic=not train)(x)
 
         x = Mlp(tuple(self.mlp_dims[1:]) + (1,), is_head=True, act=self.act,
-                dropout=self.dropout, name="mlp")(x, train=train)
-        return x[..., 0]
+                dropout=self.dropout, dtype=self.dtype,
+                name="mlp")(x, train=train)
+        return x[..., 0].astype(jnp.float32)
 
     def classify(self, logits: jax.Array) -> jax.Array:
         return (jax.nn.sigmoid(logits) > self.pos_thresh).astype(jnp.int32)

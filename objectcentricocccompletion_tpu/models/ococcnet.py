@@ -65,44 +65,49 @@ class OcOccNet(nn.Module):
 
     def setup(self):
         cfg = self.cfg
+        import jax.numpy as _jnp
+        dt = _jnp.dtype(cfg.compute_dtype)
         self.with_occ = cfg.variant == "ococc"
         self.roi_encoder = SIREncoder(
             num_blocks=cfg.num_blocks, feat_channels=cfg.feat_channels,
             rel_mlp_hidden=cfg.rel_mlp_hidden,
-            xyz_normalizer=cfg.xyz_normalizer, geo_input=True, act=cfg.act)
+            xyz_normalizer=cfg.xyz_normalizer, geo_input=True, act=cfg.act,
+            dtype=dt)
         if not self.with_occ:
             # CTRL baseline: FullySparseBboxHead = RoI encoder + heads
             self.conv_cls = Mlp(tuple(cfg.cls_mlp) + (1,), is_head=True,
-                                act=cfg.act, dropout=cfg.cls_dropout)
+                                act=cfg.act, dropout=cfg.cls_dropout,
+                                dtype=dt)
             self.conv_reg = Mlp(tuple(cfg.reg_mlp) + (coder.CODE_SIZE,),
                                 is_head=True, act=cfg.act,
-                                dropout=cfg.reg_dropout)
+                                dropout=cfg.reg_dropout, dtype=dt)
             return
         self.ae_encoder = SIREncoder(
             num_blocks=cfg.num_blocks, feat_channels=cfg.feat_channels,
             rel_mlp_hidden=cfg.rel_mlp_hidden,
             xyz_normalizer=cfg.ae_xyz_normalizer, geo_input=False,
-            act=cfg.act)
+            act=cfg.act, dtype=dt)
         self.roi_pos_enc = Mlp(tuple(cfg.roi_pos_enc_mlp) + (cfg.d_model,),
-                               is_head=True, act=cfg.act)
+                               is_head=True, act=cfg.act, dtype=dt)
         self.temporal = TemporalEncoder(
             num_layers=cfg.num_enc_layers, num_heads=cfg.attn_num_heads,
-            ffn_dim=cfg.attn_ffn_dim, attn_dropout=cfg.attn_dropout)
+            ffn_dim=cfg.attn_ffn_dim, attn_dropout=cfg.attn_dropout,
+            dtype=dt)
         self.conv_latent = Mlp(tuple(cfg.latent_mlp) + (cfg.d_model,),
                                is_head=True, act=cfg.act,
-                               dropout=cfg.latent_dropout)
+                               dropout=cfg.latent_dropout, dtype=dt)
         self.conv_fused = Mlp(tuple(cfg.fusion_mlp) + (cfg.d_model,),
                               is_head=True, act=cfg.act,
-                              dropout=cfg.fusion_dropout)
+                              dropout=cfg.fusion_dropout, dtype=dt)
         self.conv_cls = Mlp(tuple(cfg.cls_mlp) + (1,), is_head=True,
-                            act=cfg.act, dropout=cfg.cls_dropout)
+                            act=cfg.act, dropout=cfg.cls_dropout, dtype=dt)
         self.conv_reg = Mlp(tuple(cfg.reg_mlp) + (coder.CODE_SIZE,),
                             is_head=True, act=cfg.act,
-                            dropout=cfg.reg_dropout)
+                            dropout=cfg.reg_dropout, dtype=dt)
         self.occ_decoder = OccDecoder(
             mlp_dims=self.cfg.occ_mlp, num_freqs=self.cfg.pos_encode_freqs,
             act=self.cfg.act, dropout=self.cfg.occ_dropout,
-            pos_thresh=self.cfg.occ_pos_thresh)
+            pos_thresh=self.cfg.occ_pos_thresh, dtype=dt)
 
     def __call__(self, batch: TrackletBatch, *, train: bool = False) -> dict:
         cfg = self.cfg
@@ -132,8 +137,10 @@ class OcOccNet(nn.Module):
         roi_feats = jnp.where(nonempty[..., None], roi_feats, 0.0)
 
         if not self.with_occ:   # CTRL: heads straight off the RoI encoder
-            cls_logit = self.conv_cls(roi_feats, train=train)[..., 0]
-            bbox_pred = self.conv_reg(roi_feats, train=train)
+            cls_logit = self.conv_cls(
+                roi_feats, train=train)[..., 0].astype(jnp.float32)
+            bbox_pred = self.conv_reg(
+                roi_feats, train=train).astype(jnp.float32)
             return dict(cls_logit=cls_logit, bbox_pred=bbox_pred,
                         shape_latent=roi_feats, ae_latent=roi_feats,
                         nonempty=nonempty)
@@ -156,14 +163,17 @@ class OcOccNet(nn.Module):
 
         # ---- latent fusion (fused_mode='concat') ----
         shape_latent = self.conv_latent(
-            jnp.concatenate([ae_feats, fused], axis=-1), train=train)
+            jnp.concatenate([ae_feats, fused], axis=-1),
+            train=train).astype(jnp.float32)
 
         rcnn_in = fused if cfg.rcnn_trans else roi_feats
         rcnn_feats = self.conv_fused(
             jnp.concatenate([shape_latent, rcnn_in], axis=-1), train=train)
 
-        cls_logit = self.conv_cls(rcnn_feats, train=train)[..., 0]
-        bbox_pred = self.conv_reg(rcnn_feats, train=train)
+        cls_logit = self.conv_cls(rcnn_feats,
+                                  train=train)[..., 0].astype(jnp.float32)
+        bbox_pred = self.conv_reg(rcnn_feats,
+                                  train=train).astype(jnp.float32)
 
         return dict(
             cls_logit=cls_logit,       # [B, L]

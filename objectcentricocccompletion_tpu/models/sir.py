@@ -41,6 +41,7 @@ class SIRBlock(nn.Module):
     mode: str = "max"
     act: str = "gelu"
     dropout: float = 0.0
+    dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, in_feats: jax.Array, f_rel: jax.Array,
@@ -48,14 +49,15 @@ class SIRBlock(nn.Module):
         """in_feats: [G, P, C]; f_rel: [G, P, R] (already scaled);
         mask: [G, P]. Returns (point_feats [G, P, 128], cluster [G, 256])."""
         gate = Mlp(tuple(self.rel_mlp_hidden) + (in_feats.shape[-1],),
-                   act=self.act, name="rel_mlp")(f_rel, train=train)
-        x = in_feats * gate
+                   act=self.act, dtype=self.dtype,
+                   name="rel_mlp")(f_rel, train=train)
+        x = in_feats.astype(self.dtype) * gate
 
         reduce = masked_max if self.mode == "max" else masked_mean
         cluster_feats = []
         for i, c in enumerate(self.feat_channels):
             x = VfeLayer(c, act=self.act, dropout=self.dropout,
-                         name=f"vfe_{i}")(x, train=train)
+                         dtype=self.dtype, name=f"vfe_{i}")(x, train=train)
             g = reduce(x, mask, axis=-2)  # [G, C]
             cluster_feats.append(g)
             if i != len(self.feat_channels) - 1:
@@ -88,6 +90,7 @@ class SIREncoder(nn.Module):
     with_shortcut: bool = True
     act: str = "gelu"
     dropout: float = 0.0
+    dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, xyz: jax.Array, feats: jax.Array, mask: jax.Array,
@@ -114,7 +117,7 @@ class SIREncoder(nn.Module):
             in_feats = jnp.concatenate(parts, axis=-1)
             point_feats, cluster = SIRBlock(
                 self.feat_channels, self.rel_mlp_hidden, act=self.act,
-                dropout=self.dropout, name=f"block_{i}"
+                dropout=self.dropout, dtype=self.dtype, name=f"block_{i}"
             )(in_feats, f_rel, mask, train=train)
             if (self.with_shortcut and not self.geo_input
                     and out_feats.shape == point_feats.shape):

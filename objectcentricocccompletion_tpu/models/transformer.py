@@ -26,6 +26,7 @@ from .layers import LN_EPS, activation
 class CausalSelfAttention(nn.Module):
     num_heads: int
     attn_dropout: float = 0.1
+    dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, q_in, k_in, v_in, mask, *, train: bool = False):
@@ -36,18 +37,22 @@ class CausalSelfAttention(nn.Module):
         scale = 1.0 / jnp.sqrt(hd)
 
         def split(x, name):
-            y = nn.Dense(d, name=name)(x)
+            y = nn.Dense(d, name=name, dtype=self.dtype)(
+                x.astype(self.dtype))
             return y.reshape(y.shape[:-1] + (h, hd))
 
         q = split(q_in, "q") * scale
         k = split(k_in, "k")
         v = split(v_in, "v")
-        logits = jnp.einsum("blhd,bmhd->bhlm", q, k) + mask
-        w = jax.nn.softmax(logits, axis=-1)
+        # softmax in fp32 for stability
+        logits = jnp.einsum("blhd,bmhd->bhlm", q, k).astype(jnp.float32) \
+            + mask.astype(jnp.float32)
+        w = jax.nn.softmax(logits, axis=-1).astype(self.dtype)
         if self.attn_dropout > 0:
             w = nn.Dropout(self.attn_dropout, deterministic=not train)(w)
         out = jnp.einsum("bhlm,bmhd->blhd", w, v)
-        return nn.Dense(d, name="out")(out.reshape(out.shape[:-2] + (d,)))
+        return nn.Dense(d, name="out", dtype=self.dtype)(
+            out.reshape(out.shape[:-2] + (d,)))
 
 
 class TemporalEncoderLayer(nn.Module):
@@ -55,18 +60,23 @@ class TemporalEncoderLayer(nn.Module):
     ffn_dim: int = 512
     attn_dropout: float = 0.1
     act: str = "gelu"
+    dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, src, pos, mask, *, train: bool = False):
         qk = src + pos
         attn = CausalSelfAttention(self.num_heads, self.attn_dropout,
+                                   dtype=self.dtype,
                                    name="self_attn")(qk, qk, src, mask,
                                                      train=train)
-        src = nn.LayerNorm(epsilon=LN_EPS, name="norm1")(src + attn)
-        ffn = nn.Dense(self.ffn_dim, name="linear1")(src)
+        src = nn.LayerNorm(epsilon=LN_EPS, dtype=jnp.float32,
+                           name="norm1")(src + attn)
+        ffn = nn.Dense(self.ffn_dim, name="linear1",
+                       dtype=self.dtype)(src.astype(self.dtype))
         ffn = activation(self.act)(ffn)
-        ffn = nn.Dense(src.shape[-1], name="linear2")(ffn)
-        return nn.LayerNorm(epsilon=LN_EPS, name="norm2")(src + ffn)
+        ffn = nn.Dense(src.shape[-1], name="linear2", dtype=self.dtype)(ffn)
+        return nn.LayerNorm(epsilon=LN_EPS, dtype=jnp.float32,
+                            name="norm2")(src + ffn)
 
 
 class TemporalEncoder(nn.Module):
@@ -74,6 +84,7 @@ class TemporalEncoder(nn.Module):
     num_heads: int = 4
     ffn_dim: int = 512
     attn_dropout: float = 0.1
+    dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, src: jax.Array, pos: jax.Array,
@@ -94,5 +105,6 @@ class TemporalEncoder(nn.Module):
         for n in range(self.num_layers):
             src = TemporalEncoderLayer(
                 self.num_heads, self.ffn_dim, self.attn_dropout,
+                dtype=self.dtype,
                 name=f"layer_{n}")(src, pos, mask, train=train)
         return src

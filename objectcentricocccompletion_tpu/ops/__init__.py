@@ -1,1 +1,2 @@
-from . import masked, roi_pool  # noqa: F401
+from . import (cluster, incremental, masked, pointnet, roi_pool,  # noqa
+               sparse_conv, voxelize, window)

@@ -172,3 +172,27 @@ def test_ctrl_variant():
     g = jax.grad(loss_fn)(variables["params"])
     assert all(bool(jnp.isfinite(x).all())
                for x in jax.tree_util.tree_leaves(g))
+
+
+def test_bfloat16_compute():
+    """bf16 activations: loss close to fp32, grads finite (params fp32)."""
+    import dataclasses
+    cfg32 = tiny_config()
+    cfg16 = dataclasses.replace(cfg32, compute_dtype="bfloat16")
+    batch = make_batch(cfg32, seed=6)
+    m32 = OcOccNetWithLoss(cfg32)
+    m16 = OcOccNetWithLoss(cfg16)
+    v = m32.init({"params": jax.random.PRNGKey(0)}, batch, train=False)
+    t32, _ = m32.apply(v, batch, train=False)
+    t16, _ = m16.apply(v, batch, train=False)   # same param structure
+    assert abs(float(t32) - float(t16)) / abs(float(t32)) < 0.05
+
+    def loss_fn(params):
+        t, _ = m16.apply({"params": params}, batch, train=True,
+                         rngs={"dropout": jax.random.PRNGKey(1)})
+        return t
+
+    g = jax.grad(loss_fn)(v["params"])
+    leaves = jax.tree_util.tree_leaves(g)
+    assert all(bool(jnp.isfinite(x).all()) for x in leaves)
+    assert all(x.dtype == jnp.float32 for x in leaves)  # fp32 grads/params
