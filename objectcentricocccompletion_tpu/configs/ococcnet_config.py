@@ -48,6 +48,9 @@ class OcOccNetConfig:
     occ_pos_thresh: float = 0.5
 
     # temporal transformer
+    # test-time sliding attention window over frames
+    # (test_cfg attn_window_size, ococc_bbox_head.py:1021-1030); -1 = full
+    test_attn_window: int = -1
     d_model: int = 1536                 # roi_feature_channels
     attn_num_heads: int = 4
     attn_ffn_dim: int = 512

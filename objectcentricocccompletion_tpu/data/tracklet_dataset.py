@@ -114,13 +114,16 @@ class TrackletDataset:
                  min_tracklet_points: int = 100,
                  min_tracklet_length: int | None = None,
                  training: bool = True, load_interval: int = 1,
-                 mirror_occ: bool = False):
+                 mirror_occ: bool = False, frame_dropout: float = 0.0):
         self.cfg = cfg
         self.training = training
         # augmentation can be toggled off mid-training
         # (DisableAugmentationHook, core/hook/fsd_hooks.py:7-54)
         self.augment = training
         self.mirror_occ = mirror_occ
+        # FrameDropout pipeline (tracklet_pipelines.py:626-651): randomly
+        # drop a fraction of frames before regularization (train only)
+        self.frame_dropout = frame_dropout
         self.occ_anno_root = occ_anno_root
         self.class_names = list(class_names)
         min_len = (min_tracklet_length if min_tracklet_length is not None
@@ -245,6 +248,22 @@ class TrackletDataset:
             occ_pts = np.zeros((K, 3), np.float32)
             occ_lab = np.zeros((K,), np.int32)
             occ_score = 0.0
+
+        # --- frame dropout (FrameDropout) ---
+        if self.training and self.augment and self.frame_dropout > 0 \
+                and T > 2:
+            keep = rng.rand(T) >= self.frame_dropout
+            keep[0] = True   # always keep at least the first frame
+            if keep.sum() >= 2:
+                idx = np.nonzero(keep)[0]
+                rec = dataclasses.replace(
+                    rec, boxes=rec.boxes[idx],
+                    ts=[rec.ts[i] for i in idx],
+                    scores=rec.scores[idx],
+                    num_pts=None if rec.num_pts is None
+                    else rec.num_pts[idx])
+                points_list = [points_list[i] for i in idx]
+                T = len(rec)
 
         # --- regularize to L frames (TrackletRegularization) ---
         # Train: random L-frame crop (pad short tracklets by repeating the

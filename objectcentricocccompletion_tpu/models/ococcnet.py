@@ -159,7 +159,9 @@ class OcOccNet(nn.Module):
         # ---- temporal transformer ----
         pos = sinusoidal_position_encoding(batch.frame_inds, cfg.d_model)
         pos = pos + self.roi_pos_enc(batch.rois, train=train)
-        fused = self.temporal(roi_feats, pos, causal=True, train=train)
+        window = -1 if train else cfg.test_attn_window
+        fused = self.temporal(roi_feats, pos, causal=True, window=window,
+                              train=train)
 
         # ---- latent fusion (fused_mode='concat') ----
         shape_latent = self.conv_latent(

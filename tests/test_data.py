@@ -114,3 +114,16 @@ def test_all_samples_keep_points(tmp_path_factory):
                         jnp.asarray(s["rois"][None]), cfg.extra_wlh)
         nonempty = np.asarray(info.mask.any(-1))[0]
         assert nonempty.mean() > 0.8, f"sample {i}: {nonempty.mean()}"
+
+
+def test_frame_dropout(tmp_path_factory):
+    root = tmp_path_factory.mktemp("fd_ds")
+    cfg = tiny_config()
+    paths = write_synthetic_dataset(str(root), num_tracklets=2,
+                                    track_len=20, seed=2)
+    ds = TrackletDataset(cfg=cfg, min_tracklet_points=10,
+                         frame_dropout=0.5, **paths)
+    s = ds.build_sample(0, np.random.RandomState(0))
+    # shapes stay static; dropped frames are re-padded by regularization
+    assert s["rois"].shape == (cfg.reg_len, 7)
+    assert np.isfinite(s["rois"]).all()

@@ -196,3 +196,22 @@ def test_bfloat16_compute():
     leaves = jax.tree_util.tree_leaves(g)
     assert all(bool(jnp.isfinite(x).all()) for x in leaves)
     assert all(x.dtype == jnp.float32 for x in leaves)  # fp32 grads/params
+
+
+def test_attn_window_limits_history():
+    """test_attn_window=1: each frame attends only to itself, so
+    perturbing frame 0 must not change later frames at eval time."""
+    import dataclasses
+    cfg = dataclasses.replace(tiny_config(), test_attn_window=1)
+    batch = make_batch(cfg, seed=8)
+    model = OcOccNet(cfg)
+    variables = model.init({"params": jax.random.PRNGKey(0)}, batch,
+                           train=False)
+    out1 = model.apply(variables, batch, train=False)
+    pts = np.asarray(batch.points).copy()
+    pts[:, 0, :, 3:] += 1.0   # perturb FIRST frame
+    out2 = model.apply(variables, batch._replace(points=jnp.asarray(pts)),
+                       train=False)
+    np.testing.assert_allclose(np.asarray(out1["cls_logit"])[:, 1:],
+                               np.asarray(out2["cls_logit"])[:, 1:],
+                               atol=1e-4)
