@@ -29,8 +29,9 @@ def main():
     from objectcentricocccompletion_tpu.parallel.train import (
         create_train_state, make_mesh, make_train_step, shard_batch)
 
-    cfg = OcOccNetConfig(compute_dtype=os.environ.get("BENCH_DTYPE",
-                                                      "bfloat16"))
+    cfg = OcOccNetConfig(
+        compute_dtype=os.environ.get("BENCH_DTYPE", "bfloat16"),
+        batch_size=int(os.environ.get("BENCH_BATCH", "4")))
     mesh = make_mesh(jax.devices())
     n_dev = mesh.devices.size
     global_batch = cfg.batch_size * n_dev

@@ -30,3 +30,33 @@ def test_pallas_fully_masked_window_is_finite():
     mask = jnp.zeros((1, 4), bool)
     out = pallas_window_attention(q, q, q, mask, 2, interpret=True)
     assert np.isfinite(np.asarray(out)).all()
+
+
+def test_sst_with_pallas_flag_matches_einsum_path():
+    """SST forward with use_pallas_attention=True (interpret mode on CPU)
+    equals the einsum path — same params, same outputs."""
+    import dataclasses
+    from unittest import mock
+    from objectcentricocccompletion_tpu.models.sst import tiny_sst_config
+    from objectcentricocccompletion_tpu.models.sst_detector import (
+        SSTDetector, tiny_sst_detector_config)
+    from objectcentricocccompletion_tpu.ops import pallas_attention as pa
+    from tests.test_sst import make_sst_frame
+
+    cfg0 = tiny_sst_detector_config()
+    points, mask, *_ = make_sst_frame(cfg0)
+    m0 = SSTDetector(cfg0)
+    v = m0.init(jax.random.PRNGKey(0), points, mask)
+    out0 = m0.apply(v, points, mask)
+
+    cfg1 = dataclasses.replace(
+        cfg0, sst=dataclasses.replace(cfg0.sst, use_pallas_attention=True))
+    m1 = SSTDetector(cfg1)
+    orig = pa.pallas_window_attention
+    with mock.patch.object(
+            pa, "pallas_window_attention",
+            lambda q, k, v_, msk, h, interpret=False:
+            orig(q, k, v_, msk, h, interpret=True)):
+        out1 = m1.apply(v, points, mask)
+    np.testing.assert_allclose(np.asarray(out0["cls"]),
+                               np.asarray(out1["cls"]), atol=2e-4)
