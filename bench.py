@@ -31,7 +31,8 @@ def main():
 
     cfg = OcOccNetConfig(
         compute_dtype=os.environ.get("BENCH_DTYPE", "bfloat16"),
-        batch_size=int(os.environ.get("BENCH_BATCH", "4")))
+        batch_size=int(os.environ.get("BENCH_BATCH", "4")),
+        use_pallas_sir=os.environ.get("BENCH_SIR", "0") == "1")
     mesh = make_mesh(jax.devices())
     n_dev = mesh.devices.size
     global_batch = cfg.batch_size * n_dev

@@ -21,6 +21,11 @@ class OcOccNetConfig:
     # params, LayerNorm statistics, softmax, and losses stay fp32
     compute_dtype: str = "float32"
 
+    # route SIR blocks through the fused Pallas kernel (ops/pallas_sir.py);
+    # parameter layout differs from the einsum path, so checkpoints are
+    # mode-specific
+    use_pallas_sir: bool = False
+
     # static shapes
     batch_size: int = 4                 # tracklets per device (samples_per_gpu)
     reg_len: int = 32                   # frames per tracklet at train

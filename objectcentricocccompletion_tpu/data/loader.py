@@ -9,7 +9,6 @@ import pickle
 import numpy as np
 import jax.numpy as jnp
 
-from ..configs.ococcnet_config import OcOccNetConfig
 from ..models.ococcnet import TrackletBatch
 from .tracklet_dataset import TrackletDataset
 

@@ -23,7 +23,6 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
-from ..core import boxes as box_ops
 from ..models.ococcnet import gt_occ_to_roi_frame
 
 

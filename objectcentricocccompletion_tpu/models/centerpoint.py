@@ -17,7 +17,6 @@ from typing import Sequence
 
 import flax.linen as nn
 import jax
-import jax.numpy as jnp
 
 from ..ops import voxelize as vx
 from . import centerpoint_head as cph

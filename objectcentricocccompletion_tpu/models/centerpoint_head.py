@@ -12,8 +12,6 @@ device (static ``max_objs``).
 """
 from __future__ import annotations
 
-from typing import Sequence
-
 import flax.linen as nn
 import jax
 import jax.numpy as jnp

@@ -72,7 +72,7 @@ class OcOccNet(nn.Module):
             num_blocks=cfg.num_blocks, feat_channels=cfg.feat_channels,
             rel_mlp_hidden=cfg.rel_mlp_hidden,
             xyz_normalizer=cfg.xyz_normalizer, geo_input=True, act=cfg.act,
-            dtype=dt)
+            dtype=dt, use_pallas=cfg.use_pallas_sir)
         if not self.with_occ:
             # CTRL baseline: FullySparseBboxHead = RoI encoder + heads
             self.conv_cls = Mlp(tuple(cfg.cls_mlp) + (1,), is_head=True,
@@ -86,7 +86,7 @@ class OcOccNet(nn.Module):
             num_blocks=cfg.num_blocks, feat_channels=cfg.feat_channels,
             rel_mlp_hidden=cfg.rel_mlp_hidden,
             xyz_normalizer=cfg.ae_xyz_normalizer, geo_input=False,
-            act=cfg.act, dtype=dt)
+            act=cfg.act, dtype=dt, use_pallas=cfg.use_pallas_sir)
         self.roi_pos_enc = Mlp(tuple(cfg.roi_pos_enc_mlp) + (cfg.d_model,),
                                is_head=True, act=cfg.act, dtype=dt)
         self.temporal = TemporalEncoder(

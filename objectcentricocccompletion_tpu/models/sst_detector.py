@@ -12,7 +12,6 @@ import dataclasses
 
 import flax.linen as nn
 import jax
-import jax.numpy as jnp
 
 from . import anchor_head as ah
 from .sst import SST, SSTConfig, tiny_sst_config
