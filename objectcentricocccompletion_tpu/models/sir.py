@@ -103,8 +103,13 @@ class FusedSIRBlock(nn.Module):
             self.param("vfe_w1", lecun, (C, C1)), *ln("vfe_ln1", C1),
             self.param("vfe_w2", lecun, (2 * C1, C1)), *ln("vfe_ln2", C1),
         )
-        interpret = jax.default_backend() != "tpu"
-        return fused_sir_block(in_feats, f_rel, mask, params, interpret)
+        # interpret everywhere except a real TPU trace; honor a
+        # `jax.default_device(cpu)` context (used for CPU-offloaded init)
+        dd = jax.config.jax_default_device
+        on_tpu = (jax.default_backend() == "tpu"
+                  and (dd is None or dd.platform == "tpu"))
+        return fused_sir_block(in_feats, f_rel, mask, params,
+                               not on_tpu)
 
 
 class SIREncoder(nn.Module):
