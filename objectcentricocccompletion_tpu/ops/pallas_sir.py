@@ -38,6 +38,12 @@ def _gelu(x):
     return jax.nn.gelu(x)
 
 
+def _dot16(a, w):
+    """bf16 multiply, fp32 accumulate — the MXU fast path."""
+    return jnp.dot(a.astype(jnp.bfloat16), w.astype(jnp.bfloat16),
+                   preferred_element_type=jnp.float32)
+
+
 def _sir_kernel(x_ref, rel_ref, mask_ref,
                 gw0_ref, gs0_ref, gb0_ref, gw1_ref, gs1_ref, gb1_ref,
                 gw2_ref, gs2_ref, gb2_ref,
@@ -54,19 +60,11 @@ def _sir_kernel(x_ref, rel_ref, mask_ref,
     rel = rel_ref[0].astype(jnp.float32)
     m = mask_ref[0].astype(jnp.float32)          # [P, 1]
 
-    g = _gelu(_ln(jnp.dot(rel, gw0_ref[:],
-                          preferred_element_type=jnp.float32),
-                  gs0_ref[:], gb0_ref[:]))
-    g = _gelu(_ln(jnp.dot(g, gw1_ref[:],
-                          preferred_element_type=jnp.float32),
-                  gs1_ref[:], gb1_ref[:]))
-    g = _gelu(_ln(jnp.dot(g, gw2_ref[:],
-                          preferred_element_type=jnp.float32),
-                  gs2_ref[:], gb2_ref[:]))
+    g = _gelu(_ln(_dot16(rel, gw0_ref[:]), gs0_ref[:], gb0_ref[:]))
+    g = _gelu(_ln(_dot16(g, gw1_ref[:]), gs1_ref[:], gb1_ref[:]))
+    g = _gelu(_ln(_dot16(g, gw2_ref[:]), gs2_ref[:], gb2_ref[:]))
 
-    h1 = _gelu(_ln(jnp.dot(x * g, w1_ref[:],
-                           preferred_element_type=jnp.float32),
-                   s1_ref[:], b1_ref[:]))
+    h1 = _gelu(_ln(_dot16(x * g, w1_ref[:]), s1_ref[:], b1_ref[:]))
     h1m = jnp.where(m > 0, h1, _NEG)
     g1 = jnp.max(h1m, axis=0, keepdims=True)     # [1, C1]
     any_valid = jnp.max(m, axis=0, keepdims=True)  # [1, 1]
@@ -74,14 +72,14 @@ def _sir_kernel(x_ref, rel_ref, mask_ref,
 
     cat = jnp.concatenate(
         [h1, jnp.broadcast_to(g1, h1.shape)], axis=-1)
-    h2 = _gelu(_ln(jnp.dot(cat, w2_ref[:],
-                           preferred_element_type=jnp.float32),
-                   s2_ref[:], b2_ref[:]))
+    h2 = _gelu(_ln(_dot16(cat, w2_ref[:]), s2_ref[:], b2_ref[:]))
     h2m = jnp.where(m > 0, h2, _NEG)
     g2 = jnp.where(any_valid > 0, jnp.max(h2m, axis=0, keepdims=True), 0.0)
 
     point_ref[0] = h2.astype(point_ref.dtype)
-    cluster_ref[0] = jnp.concatenate([g1, g2], axis=-1)[0].astype(
+    # cluster output is [1, 1, 2*C1] (3-D so the trailing block dims satisfy
+    # the TPU (8, 128)-or-full tiling rule)
+    cluster_ref[0, 0] = jnp.concatenate([g1, g2], axis=-1)[0].astype(
         cluster_ref.dtype)
 
 
@@ -136,13 +134,13 @@ def fused_sir_block(x, rel, mask, params, interpret=False):
         in_specs=[spec(x.shape), spec(rel.shape), spec(mask_f.shape)]
         + [wspec(w) for w in (gw0, gs0, gb0, gw1, gs1, gb1, gw2, gs2, gb2,
                               w1, s1, b1, w2, s2, b2)],
-        out_specs=(spec((G, P, C1)), spec((G, 2 * C1))),
+        out_specs=(spec((G, P, C1)), spec((G, 1, 2 * C1))),
         out_shape=(jax.ShapeDtypeStruct((G, P, C1), x.dtype),
-                   jax.ShapeDtypeStruct((G, 2 * C1), x.dtype)),
+                   jax.ShapeDtypeStruct((G, 1, 2 * C1), x.dtype)),
         interpret=interpret,
     )(x, rel, mask_f, gw0, gs0, gb0, gw1, gs1, gb1, gw2, gs2, gb2,
       w1, s1, b1, w2, s2, b2)
-    return point, cluster
+    return point, cluster[:, 0]
 
 
 def _fwd(x, rel, mask, params, interpret=False):
