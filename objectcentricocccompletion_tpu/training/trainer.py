@@ -31,12 +31,13 @@ class CheckpointManager:
             self.dir, options=ocp.CheckpointManagerOptions(
                 max_to_keep=max_keep, create=True))
 
-    def save(self, step: int, state: TrainState, config: OcOccNetConfig):
+    def save(self, step: int, state, config=None):
         payload = dict(step=np.asarray(state.step),
                        params=state.params, opt_state=state.opt_state)
         self.mgr.save(step, args=ocp.args.StandardSave(payload))
-        with open(os.path.join(self.dir, "config.json"), "w") as f:
-            json.dump(asdict(config), f, indent=2, default=list)
+        if config is not None:
+            with open(os.path.join(self.dir, "config.json"), "w") as f:
+                json.dump(asdict(config), f, indent=2, default=list)
 
     def restore(self, state: TrainState) -> TrainState | None:
         step = self.mgr.latest_step()

@@ -21,12 +21,20 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(
 
 def main():
     p = argparse.ArgumentParser()
-    p.add_argument("model", choices=["ococcnet"],
+    p.add_argument("model",
+                   choices=["ococcnet", "ctrl", "centerpoint", "sst",
+                            "fsd"],
                    help="model family to train")
-    p.add_argument("--proposals", required=True)
-    p.add_argument("--gt-candidates", required=True)
-    p.add_argument("--poses", required=True)
+    # tracklet-family inputs (ococcnet / ctrl)
+    p.add_argument("--proposals")
+    p.add_argument("--gt-candidates")
+    p.add_argument("--poses")
     p.add_argument("--occ-root", default=None)
+    # frame-family inputs (centerpoint / sst / fsd)
+    p.add_argument("--infos", help="kitti-format infos pkl")
+    p.add_argument("--data-root", help="frame data root")
+    p.add_argument("--occ-pred-root", default=None,
+                   help="merge predicted occupancy points (W8)")
     p.add_argument("--work-dir", default="work_dirs/run")
     p.add_argument("--total-steps", type=int, default=None)
     p.add_argument("--ckpt-interval", type=int, default=1000)
@@ -36,21 +44,60 @@ def main():
                    help="tiny config for smoke runs")
     args = p.parse_args()
 
-    from objectcentricocccompletion_tpu.configs import (OcOccNetConfig,
-                                                        tiny_config)
-    from objectcentricocccompletion_tpu.data.tracklet_dataset import \
-        TrackletDataset
-    from objectcentricocccompletion_tpu.training.trainer import train
+    if args.model in ("ococcnet", "ctrl"):
+        import dataclasses
+        from objectcentricocccompletion_tpu.configs import (
+            OcOccNetConfig, tiny_config)
+        from objectcentricocccompletion_tpu.data.tracklet_dataset import \
+            TrackletDataset
+        from objectcentricocccompletion_tpu.training.trainer import train
 
-    cfg = tiny_config() if args.tiny else OcOccNetConfig()
-    ds = TrackletDataset(
-        proposals_file=args.proposals,
-        gt_candidates_file=args.gt_candidates,
-        pose_file=args.poses, occ_anno_root=args.occ_root, cfg=cfg)
-    print(f"dataset: {len(ds)} tracklets")
-    train(cfg, ds, args.work_dir, total_steps=args.total_steps,
-          ckpt_interval=args.ckpt_interval, seed=args.seed,
-          resume=not args.no_resume)
+        cfg = tiny_config() if args.tiny else OcOccNetConfig()
+        if args.model == "ctrl":
+            cfg = dataclasses.replace(cfg, variant="ctrl")
+        ds = TrackletDataset(
+            proposals_file=args.proposals,
+            gt_candidates_file=args.gt_candidates,
+            pose_file=args.poses, occ_anno_root=args.occ_root, cfg=cfg)
+        print(f"dataset: {len(ds)} tracklets")
+        train(cfg, ds, args.work_dir, total_steps=args.total_steps,
+              ckpt_interval=args.ckpt_interval, seed=args.seed,
+              resume=not args.no_resume)
+        return
+
+    # frame-level detector families
+    from objectcentricocccompletion_tpu.data.frame_dataset import \
+        FrameDataset
+    from objectcentricocccompletion_tpu.training.detector_trainer import \
+        train_detector
+
+    ds = FrameDataset(args.infos, args.data_root,
+                      occ_pred_root=args.occ_pred_root)
+    print(f"dataset: {len(ds)} frames")
+    if args.model == "centerpoint":
+        from objectcentricocccompletion_tpu.models.centerpoint import (
+            CenterPointConfig, DynamicCenterPoint, tiny_centerpoint_config)
+        model = DynamicCenterPoint(
+            tiny_centerpoint_config() if args.tiny else CenterPointConfig())
+    elif args.model == "sst":
+        from objectcentricocccompletion_tpu.models.sst_detector import (
+            SSTDetector, SSTDetectorConfig, tiny_sst_detector_config)
+        model = SSTDetector(tiny_sst_detector_config() if args.tiny
+                            else SSTDetectorConfig())
+    else:   # fsd
+        from objectcentricocccompletion_tpu.models.fsd import (
+            FSD, FSDConfig, fsd_loss, tiny_fsd_config)
+
+        class FSDWithLoss(FSD):
+            def loss(self, points, mask, gt_boxes, gt_labels, gt_valid):
+                out = self(points, mask)
+                return fsd_loss(out, points, gt_boxes, gt_labels, gt_valid)
+
+        model = FSDWithLoss(tiny_fsd_config() if args.tiny else FSDConfig())
+    train_detector(model, ds, args.work_dir,
+                   total_steps=args.total_steps or 1000,
+                   ckpt_interval=args.ckpt_interval, seed=args.seed,
+                   resume=not args.no_resume)
 
 
 if __name__ == "__main__":
