@@ -85,4 +85,48 @@ class TwoStageFSD(nn.Module):
         reg2 = self.conv_reg(feats)
         refined = coder.decode_from_rois(rois, reg2)
         return dict(out1, cls2=cls2, bbox2=reg2, refined_boxes=refined,
-                    roi_nonempty=nonempty)
+                    roi_nonempty=nonempty, rois=rois)
+
+
+def two_stage_loss(out: dict, points, gt_boxes, gt_labels, gt_valid,
+                   pos_iou: float = 0.55, neg_iou: float = 0.45,
+                   code_weights=(2., 2., 1., 1., 1., 1., 1.),
+                   cls_weight: float = 1.0, reg_weight: float = 2.0):
+    """Stage-1 (fsd_loss) + stage-2 group-correction losses.
+
+    Stage-2 mirrors ``FullySparseBboxHead.loss`` (``fsd_bbox_head.py``):
+    RoIs match GT by aligned 3D IoU; classification uses the IoU-soft label
+    of ``get_single_class_soft_label`` (``fsd_bbox_head.py:611-625``); box
+    regression is code-weighted L1 on canonical-frame deltas for positives.
+    """
+    from ..core import boxes as box_ops
+    from .fsd import fsd_loss
+
+    losses = fsd_loss(out, points, gt_boxes, gt_labels, gt_valid)
+
+    rois = out["rois"]
+    R = rois.shape[0]
+    iou = jax.vmap(lambda g: box_ops.aligned_iou_3d(rois, g[None].repeat(
+        R, 0)))(gt_boxes)            # [G, R]
+    iou = jnp.where(gt_valid[:, None], iou, -1.0)
+    best_iou = jnp.max(iou, axis=0)
+    best_gt = jnp.argmax(iou, axis=0)
+    valid_roi = out["roi_nonempty"]
+
+    soft = jnp.clip((best_iou - neg_iou) / (pos_iou - neg_iou), 0.0, 1.0)
+    bce = (jnp.maximum(out["cls2"], 0) - out["cls2"] * soft
+           + jnp.log1p(jnp.exp(-jnp.abs(out["cls2"]))))
+    wf = valid_roi.astype(jnp.float32)
+    loss_cls2 = cls_weight * jnp.sum(bce * wf) / jnp.clip(jnp.sum(wf), 1,
+                                                          None)
+
+    pos = (best_iou > pos_iou) & valid_roi
+    targets = coder.encode_roi_targets(rois, gt_boxes[best_gt])
+    l1 = jnp.abs(out["bbox2"] - targets) * jnp.asarray(code_weights)
+    num_pos = jnp.clip(jnp.sum(pos), 1.0, None)
+    loss_reg2 = reg_weight * jnp.sum(
+        l1 * pos[:, None].astype(jnp.float32)) / num_pos
+
+    total = losses["loss"] + loss_cls2 + loss_reg2
+    return dict(losses, loss_cls2=loss_cls2, loss_reg2=loss_reg2,
+                loss=total, num_pos_rois2=jnp.sum(pos))

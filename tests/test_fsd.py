@@ -119,3 +119,29 @@ def test_fsdv2_virtual_voxels():
         FSD(cfg_cc).init(jax.random.PRNGKey(0), points, mask), points, mask)
     assert (int(np.asarray(out["cluster_valid"]).sum())
             >= int(np.asarray(out_cc["cluster_valid"]).sum()))
+
+
+def test_two_stage_loss_and_grads():
+    from objectcentricocccompletion_tpu.models.fsd_two_stage import (
+        TwoStageFSD, tiny_two_stage_config, two_stage_loss)
+    cfg = tiny_two_stage_config()
+    points, mask, boxes, labels, valid = make_fsd_frame(cfg.fsd, seed=3)
+    model = TwoStageFSD(cfg)
+    variables = model.init(jax.random.PRNGKey(0), points, mask)
+    out = model.apply(variables, points, mask)
+    losses = two_stage_loss(out, points, boxes, labels, valid)
+    assert np.isfinite(float(losses["loss"]))
+    assert "loss_cls2" in losses and "loss_reg2" in losses
+
+    def loss_fn(params):
+        o = model.apply({"params": params}, points, mask)
+        return two_stage_loss(o, points, boxes, labels, valid)["loss"]
+
+    g = jax.grad(loss_fn)(variables["params"])
+    assert all(bool(jnp.isfinite(x).all())
+               for x in jax.tree_util.tree_leaves(g))
+    # stage-2 head params receive gradient
+    flat = jax.tree_util.tree_flatten_with_path(g)[0]
+    s2 = [np.abs(np.asarray(v)).sum() for k, v in flat
+          if "conv_cls" in str(k) or "conv_reg" in str(k)]
+    assert sum(s2) > 0
