@@ -95,7 +95,12 @@ class Evaluator:
     def run(self, out_dir: str, max_tracklets: int | None = None,
             eval_occ: bool = True, eval_waymo: bool = True,
             gt_bin: str | None = None,
-            save_occ_root: str | None = None) -> dict:
+            save_occ_root: str | None = None,
+            batch_size: int = 1) -> dict:
+        """``batch_size > 1`` groups same-length-bucket tracklets into one
+        device call (the reference evaluates strictly at batch 1,
+        ``tracklet_roi_head_occ.simple_test``; bucketing makes batching
+        free here)."""
         os.makedirs(out_dir, exist_ok=True)
         rng = np.random.RandomState(0)
         acc = occ_iou_mod.OccIoUAccumulator()
@@ -103,25 +108,38 @@ class Evaluator:
         n = len(self.ds) if max_tracklets is None else min(
             max_tracklets, len(self.ds))
 
+        # group indices by bucket so batched predicts share one compile
+        prepared = []
         for i in range(n):
-            rec = self.ds.records[i]
             sample = self.ds.build_sample(i, rng)
             padded, T = pad_to_bucket(sample, self.cfg)
-            batch = TrackletBatch(
-                points=jnp.asarray(padded["points"][None]),
-                points_mask=jnp.asarray(padded["points_mask"][None]),
-                rois=jnp.asarray(padded["rois"][None]),
-                roi_scores=jnp.asarray(padded["roi_scores"][None]),
-                frame_inds=jnp.asarray(padded["frame_inds"][None]),
-                gt_boxes=jnp.asarray(padded["gt_boxes"][None]),
-                gt_valid=jnp.asarray(padded["gt_valid"][None]),
-                occ_points=jnp.asarray(padded["occ_points"][None]),
-                occ_labels=jnp.asarray(padded["occ_labels"][None]),
-                occ_mask=jnp.asarray(padded["occ_mask"][None]),
-                occ_score=jnp.asarray(padded["occ_score"][None]),
-            )
-            L = batch.rois.shape[1]
-            pred = self._predict_fn(L)(self.params, batch)
+            prepared.append((i, sample, padded, T))
+        by_bucket: dict = {}
+        for item in prepared:
+            by_bucket.setdefault(item[2]["rois"].shape[0], []).append(item)
+
+        preds: dict = {}
+        for L, items in by_bucket.items():
+            for beg in range(0, len(items), batch_size):
+                chunk = items[beg:beg + batch_size]
+                pad_n = batch_size - len(chunk)
+                stacked = {
+                    k: np.stack([it[2][k] for it in chunk]
+                                + [chunk[-1][2][k]] * pad_n, 0)
+                    for k in ("points", "points_mask", "rois", "roi_scores",
+                              "frame_inds", "gt_boxes", "gt_valid",
+                              "occ_points", "occ_labels", "occ_mask",
+                              "occ_score")}
+                batch = TrackletBatch(**{k: jnp.asarray(v)
+                                         for k, v in stacked.items()})
+                out = self._predict_fn((L, batch_size))(self.params, batch)
+                for j, it in enumerate(chunk):
+                    preds[it[0]] = jax.tree_util.tree_map(
+                        lambda x, j=j: x[j:j + 1], out)
+
+        for i, sample, padded, T in prepared:
+            rec = self.ds.records[i]
+            pred = preds[i]
 
             boxes = np.asarray(pred["boxes"][0])[:T]
             scores = np.asarray(pred["scores"][0])[:T]

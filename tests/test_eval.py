@@ -202,3 +202,28 @@ def test_tta_end_to_end_model():
     out = tta.predict_tta(apply_fn, batch)
     assert out["boxes"].shape == batch.rois.shape
     assert np.isfinite(np.asarray(out["boxes"])).all()
+
+
+def test_full_evaluator_batched(tmp_path):
+    """batch_size=2 evaluation equals batch_size=1 (same metrics/bins)."""
+    cfg = tiny_config()
+    paths = write_synthetic_dataset(str(tmp_path / "ds"), num_tracklets=3,
+                                    track_len=10, seed=4)
+    ds = TrackletDataset(cfg=cfg, min_tracklet_points=10, training=False,
+                         min_tracklet_length=1, **paths)
+    model = OcOccNetWithLoss(cfg)
+    from objectcentricocccompletion_tpu.data.loader import TrainLoader
+    ds_train = TrackletDataset(cfg=cfg, min_tracklet_points=10, **paths)
+    batch = next(TrainLoader(ds_train, batch_size=1))
+    params = model.init({"params": jax.random.PRNGKey(0)}, batch,
+                        train=False)["params"]
+    m1 = Evaluator(model, params, ds, cfg).run(str(tmp_path / "o1"),
+                                               batch_size=1)
+    m2 = Evaluator(model, params, ds, cfg).run(str(tmp_path / "o2"),
+                                               batch_size=2)
+    assert abs(m1["occ/overall_iou"] - m2["occ/overall_iou"]) < 1e-6
+    b1 = read_bin(m1["results_bin"])
+    b2 = read_bin(m2["results_bin"])
+    assert len(b1) == len(b2)
+    for r1, r2 in zip(b1, b2):
+        assert abs(r1["box"][1] - r2["box"][1]) < 1e-5
