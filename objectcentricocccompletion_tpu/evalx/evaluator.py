@@ -61,15 +61,58 @@ def pad_to_bucket(sample: dict, cfg: OcOccNetConfig) -> tuple[dict, int]:
 
 class Evaluator:
     def __init__(self, model: OcOccNetWithLoss, params, dataset: TrackletDataset,
-                 cfg: OcOccNetConfig, occ_label_thresh: float | None = None):
+                 cfg: OcOccNetConfig, occ_label_thresh: float | None = None,
+                 online_tuning_iters: int = 0,
+                 online_tuning_lr: float = 0.01):
+        """``online_tuning_iters > 0`` enables test-time latent optimization
+        against the observed occupancy before decoding (reference
+        ``test_cfg.online_tuning``, ``occ_ae_head.py:346-391``)."""
         self.model = model
         self.params = params
         self.ds = dataset
         self.cfg = cfg
         self.occ_label_thresh = (occ_label_thresh if occ_label_thresh
                                  is not None else cfg.occ_label_thresh)
+        self.online_tuning_iters = online_tuning_iters
+        self.online_tuning_lr = online_tuning_lr
         self._predict = {}
         self._occ_eval = {}
+        self._tune = None
+
+    def _maybe_tune(self, pred: dict, padded: dict) -> dict:
+        """Adam-optimize each RoI's shape latent to fit the occupancy
+        observed from its own pooled points (online test-time tuning)."""
+        if self.online_tuning_iters <= 0:
+            return pred
+        from ..ops import roi_pool as rp
+        from . import online_tuning as ot
+        if self._tune is None:
+            def fn(params, latent, rois, pts, pmask):
+                pool = rp.roi_pool(pts[..., :3], pmask, rois,
+                                   self.cfg.extra_wlh)
+                K = min(512, pool.local_xyz.shape[-2])
+                queries = rp.quantize_to_voxel_centers(
+                    pool.local_xyz[..., :K, :], rois[..., 3:6],
+                    self.cfg.ae_voxel_size)
+                labels = ot.observation_targets(
+                    pool.local_xyz, pool.mask, rois[..., 3:6],
+                    self.cfg.ae_voxel_size, queries)
+                msk = pool.mask[..., :K].astype(jnp.float32)
+
+                def decode(lat, q):
+                    return self.model.apply(
+                        {"params": params}, lat, q,
+                        method=self.model.decode_occ_queries)
+
+                return ot.tune_latent(decode, latent, queries, labels, msk,
+                                      self.online_tuning_iters,
+                                      self.online_tuning_lr)
+            self._tune = jax.jit(fn)
+        tuned = self._tune(self.params, pred["shape_latent"][0],
+                           jnp.asarray(padded["rois"]),
+                           jnp.asarray(padded["points"]),
+                           jnp.asarray(padded["points_mask"]))
+        return dict(pred, shape_latent=tuned[None])
 
     def _predict_fn(self, L: int):
         if L not in self._predict:
@@ -139,7 +182,7 @@ class Evaluator:
 
         for i, sample, padded, T in prepared:
             rec = self.ds.records[i]
-            pred = preds[i]
+            pred = self._maybe_tune(preds[i], padded)
 
             boxes = np.asarray(pred["boxes"][0])[:T]
             scores = np.asarray(pred["scores"][0])[:T]

@@ -227,3 +227,24 @@ def test_full_evaluator_batched(tmp_path):
     assert len(b1) == len(b2)
     for r1, r2 in zip(b1, b2):
         assert abs(r1["box"][1] - r2["box"][1]) < 1e-5
+
+
+def test_evaluator_online_tuning_runs(tmp_path):
+    cfg = tiny_config()
+    paths = write_synthetic_dataset(str(tmp_path / "ds"), num_tracklets=2,
+                                    track_len=10, seed=5)
+    ds = TrackletDataset(cfg=cfg, min_tracklet_points=10, training=False,
+                         min_tracklet_length=1, **paths)
+    model = OcOccNetWithLoss(cfg)
+    from objectcentricocccompletion_tpu.data.loader import TrainLoader
+    ds_train = TrackletDataset(cfg=cfg, min_tracklet_points=10, **paths)
+    batch = next(TrainLoader(ds_train, batch_size=1))
+    params = model.init({"params": jax.random.PRNGKey(0)}, batch,
+                        train=False)["params"]
+    m0 = Evaluator(model, params, ds, cfg).run(
+        str(tmp_path / "o0"), eval_waymo=False)
+    mt = Evaluator(model, params, ds, cfg, online_tuning_iters=5).run(
+        str(tmp_path / "ot"), eval_waymo=False)
+    # tuning changes the decoded occupancy (untrained net -> any movement)
+    assert mt["num_tracklets"] == m0["num_tracklets"]
+    assert np.isfinite(mt["occ/overall_iou"])
