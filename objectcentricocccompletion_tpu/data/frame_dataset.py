@@ -72,6 +72,19 @@ class FrameDataset:
     def __len__(self):
         return len(self.infos)
 
+    def sequences(self) -> list[list[int]]:
+        """Frame indices grouped by driving segment, time-ordered — the
+        contiguous sequences the FSD++ sequential loader draws windows from
+        (counterpart of the reference's sequence-contiguous sampler in
+        ``datasets/build_dataloader_sequential.py``)."""
+        groups: dict[str, list[int]] = {}
+        for i, info in enumerate(self.infos):
+            seg = info.get("segment_name",
+                           info["point_cloud"].get("segment_name", ""))
+            groups.setdefault(seg, []).append(i)
+        key = lambda i: self.infos[i].get("timestamp", i)
+        return [sorted(ids, key=key) for _, ids in sorted(groups.items())]
+
     def load_occ_points(self, segment: str, ts) -> np.ndarray:
         """All predicted-occ centers of a frame -> [K, use_dim] pseudo-points
         (xyz + occupancy score as intensity, zeros elsewhere)."""

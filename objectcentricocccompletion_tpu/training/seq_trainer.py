@@ -1,0 +1,159 @@
+"""Sequential (multi-frame) training for FSD++ (W7).
+
+Rebuild of the reference's sequential pipeline
+(``datasets/build_dataloader_sequential.py:15-130``,
+``apis/seq_training_apis.py:30-244``): training samples are short windows of
+consecutive frames from one log; the model carries its point memory across
+the window and every frame contributes detection losses.
+
+The reference keeps python-level recurrent state across dataloader
+iterations (sequence-contiguous sharding + stateful model); here a window is
+one jitted computation — the FSD++ memory threads through an unrolled
+in-graph loop, so there is no host round-trip between frames.
+"""
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from ..models.fsd import fsd_loss
+from ..models.fsdpp import FSDPP, SequenceState
+
+
+class SeqWindow(NamedTuple):
+    points: jax.Array       # [W, N, C] consecutive frames
+    points_mask: jax.Array  # [W, N]
+    gt_boxes: jax.Array     # [W, M, 7]
+    gt_labels: jax.Array    # [W, M]
+    gt_valid: jax.Array     # [W, M]
+
+
+class SequenceLoader:
+    """Draws windows of ``window`` consecutive frames from per-sequence
+    frame lists. ``dataset.sequences() -> list[list[frame_index]]`` or the
+    whole dataset is treated as one sequence."""
+
+    def __init__(self, dataset, window: int, seed: int = 0):
+        self.ds = dataset
+        self.window = window
+        self.rng = np.random.RandomState(seed)
+        if hasattr(dataset, "sequences"):
+            self.seqs = dataset.sequences()
+        else:
+            self.seqs = [list(range(len(dataset)))]
+        self.seqs = [s for s in self.seqs if len(s) >= window]
+        assert self.seqs, "no sequence long enough for the window"
+
+    def __iter__(self):
+        return self
+
+    def __next__(self) -> SeqWindow:
+        seq = self.seqs[self.rng.randint(len(self.seqs))]
+        beg = self.rng.randint(0, len(seq) - self.window + 1)
+        samples = [self.ds.build_sample(seq[beg + i], self.rng)
+                   for i in range(self.window)]
+        def stack(k):
+            return jnp.asarray(np.stack([s[k] for s in samples], 0))
+        return SeqWindow(stack("points"), stack("points_mask"),
+                         stack("gt_boxes"), stack("gt_labels"),
+                         stack("gt_valid"))
+
+
+def make_seq_train_step(model: FSDPP, tx, window: int):
+    """(params, opt_state, window_batch, mem_state) ->
+    (params, opt_state, new_mem, metrics). The memory is carried in-graph
+    across the window's frames and returned for the next window of the same
+    sequence (or reset by the caller at sequence boundaries)."""
+
+    def step_fn(params, opt_state, batch: SeqWindow, mem: SequenceState):
+        def loss_fn(p):
+            losses = []
+            m = mem
+            for w in range(window):
+                # FSD++ runs on memory+frame; the loss's per-point targets
+                # must align with that merged cloud (pre-update memory).
+                merged_pts = jnp.concatenate([batch.points[w], m.memory], 0)
+                m, out = model.apply({"params": p}, m, batch.points[w],
+                                     batch.points_mask[w])
+                losses.append(fsd_loss(out, merged_pts,
+                                       batch.gt_boxes[w],
+                                       batch.gt_labels[w],
+                                       batch.gt_valid[w]))
+            total = sum(l["loss"] for l in losses) / window
+            aux = {k: sum(l[k] for l in losses) / window
+                   for k in losses[0]}
+            return total, (aux, m)
+
+        (loss, (aux, new_mem)), grads = jax.value_and_grad(
+            loss_fn, has_aux=True)(params)
+        updates, opt_state = tx.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        # memory is observation state, not a differentiation target
+        new_mem = jax.tree_util.tree_map(jax.lax.stop_gradient, new_mem)
+        return params, opt_state, new_mem, dict(
+            aux, grad_norm=optax.global_norm(grads))
+
+    return jax.jit(step_fn, donate_argnums=(0, 1))
+
+
+def train_fsdpp(model: FSDPP, dataset, work_dir: str, total_steps: int,
+                window: int = 2, base_lr: float = 1e-5,
+                ckpt_interval: int = 1000, log_interval: int = 50,
+                seed: int = 0, resume: bool = True):
+    """Sequential FSD++ training loop: one window per step, memory reset at
+    each window (windows are drawn randomly, so carrying memory across them
+    would mix sequences). Mirrors ``apis/seq_training_apis.py`` at the
+    workflow level; per-sequence memory carry across adjacent windows is a
+    scheduling refinement left to the roadmap."""
+    import time
+
+    from .detector_trainer import DetectorState
+    from .optim import make_optimizer
+    from .trainer import CheckpointManager, MetricLogger
+
+    loader = SequenceLoader(dataset, window=window, seed=seed)
+    win = next(loader)
+    feat_dim = win.points.shape[-1]
+
+    cpu = jax.devices("cpu")[0]
+    with jax.default_device(cpu):
+        mem0 = SequenceState(
+            jnp.zeros((model.cfg.memory_size, feat_dim)),
+            jnp.zeros((model.cfg.memory_size,), bool))
+        params = model.init(jax.random.PRNGKey(seed), mem0, win.points[0],
+                            win.points_mask[0])["params"]
+        tx, _ = make_optimizer(base_lr, total_steps)
+        opt_state = tx.init(params)
+    params, opt_state = jax.device_put((params, opt_state))
+
+    ckpt = CheckpointManager(f"{work_dir}/ckpt")
+    logger = MetricLogger(work_dir, log_interval)
+    start = 0
+    if resume:
+        restored = ckpt.restore(DetectorState(
+            jnp.zeros((), jnp.int32), params, opt_state))
+        if restored is not None:
+            start = int(restored.step)
+            params = jax.device_put(restored.params)
+            opt_state = jax.device_put(restored.opt_state)
+
+    step_fn = make_seq_train_step(model, tx, window)
+    t_last = time.time()
+    for step in range(start, total_steps):
+        mem = jax.device_put(mem0)
+        params, opt_state, mem, aux = step_fn(
+            params, opt_state, next(loader) if step > start else win, mem)
+        if (step + 1) % log_interval == 0:
+            aux = jax.device_get(aux)
+            dt = (time.time() - t_last) / log_interval
+            t_last = time.time()
+            logger.log(step + 1, {**aux, "windows_per_sec": 1.0 / dt})
+        if (step + 1) % ckpt_interval == 0 or step + 1 == total_steps:
+            ckpt.save(step + 1, jax.device_get(DetectorState(
+                jnp.asarray(step + 1, jnp.int32), params, opt_state)), None)
+    ckpt.wait()
+    return params

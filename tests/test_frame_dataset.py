@@ -75,3 +75,19 @@ def test_occ_pred_merge(tmp_path):
     # frame 1 (ts 1001) has no occ files -> unchanged count
     s1 = ds.build_sample(1, np.random.RandomState(0))
     assert s1["points_mask"].sum() == 3000
+
+
+def test_sequences_grouping(tmp_path):
+    """sequences() groups frames per segment in timestamp order — the
+    contract the FSD++ SequenceLoader relies on."""
+    info_path = write_frame_dataset(str(tmp_path), num_frames=4)
+    # scramble: move frames 2,3 to another segment, reverse timestamps
+    infos = pickle.load(open(info_path, "rb"))
+    infos[2]["segment_name"] = "seg-z"
+    infos[3]["segment_name"] = "seg-z"
+    infos[2]["timestamp"] = 2001
+    infos[3]["timestamp"] = 2000
+    pickle.dump(infos, open(info_path, "wb"))
+    ds = FrameDataset(info_path, str(tmp_path))
+    seqs = ds.sequences()
+    assert seqs == [[0, 1], [3, 2]]

@@ -34,3 +34,54 @@ def test_fsdpp_sequence_steps():
     pts3[:, :2] += 3.0
     st3, _ = model.apply(variables, st2, jnp.asarray(pts3), mask)
     assert int(np.asarray(st3.memory_mask).sum()) >= n_mem2
+
+
+def test_fsdpp_sequential_training_step():
+    """Two sequential train steps over 2-frame windows: memory persists,
+    losses finite, params update."""
+    import jax.numpy as jnp
+    import optax
+    from objectcentricocccompletion_tpu.training.seq_trainer import (
+        SeqWindow, SequenceLoader, make_seq_train_step)
+    from objectcentricocccompletion_tpu.models.fsdpp import SequenceState
+    from tests.test_detector_trainer import SyntheticFrames
+
+    cfg = tiny_fsdpp_config()
+    model = FSDPP(cfg)
+
+    class SeqFrames(SyntheticFrames):
+        def __init__(self):
+            from objectcentricocccompletion_tpu.models.fsd import \
+                tiny_fsd_config
+            super().__init__(tiny_fsd_config(), n=4)
+
+        def build_sample(self, index, rng):
+            # match FSD pc_range shapes
+            from tests.test_fsd import make_fsd_frame
+            pts, msk, boxes, labels, valid = make_fsd_frame(
+                self.cfg, seed=index)
+            return dict(points=np.asarray(pts),
+                        points_mask=np.asarray(msk),
+                        gt_boxes=np.asarray(boxes),
+                        gt_labels=np.asarray(labels),
+                        gt_valid=np.asarray(valid))
+
+    ds = SeqFrames()
+    loader = SequenceLoader(ds, window=2, seed=0)
+    win = next(loader)
+    feat_dim = win.points.shape[-1]
+    mem = SequenceState(jnp.zeros((cfg.memory_size, feat_dim)),
+                        jnp.zeros((cfg.memory_size,), bool))
+    params = model.init(jax.random.PRNGKey(0), mem, win.points[0],
+                        win.points_mask[0])["params"]
+    tx = optax.adam(1e-4)
+    opt = tx.init(params)
+    step = make_seq_train_step(model, tx, window=2)
+    p0 = jax.tree_util.tree_leaves(params)[0].copy()
+    params, opt, mem, aux = step(params, opt, win, mem)
+    assert np.isfinite(float(aux["loss"]))
+    assert int(np.asarray(mem.memory_mask).sum()) > 0
+    params, opt, mem, aux2 = step(params, opt, next(loader), mem)
+    assert np.isfinite(float(aux2["loss"]))
+    assert not np.allclose(np.asarray(jax.tree_util.tree_leaves(params)[0]),
+                           np.asarray(p0))

@@ -23,7 +23,7 @@ def main():
     p = argparse.ArgumentParser()
     p.add_argument("model",
                    choices=["ococcnet", "ctrl", "centerpoint", "sst",
-                            "fsd"],
+                            "fsd", "fsdpp"],
                    help="model family to train")
     # tracklet-family inputs (ococcnet / ctrl)
     p.add_argument("--proposals")
@@ -42,7 +42,15 @@ def main():
     p.add_argument("--no-resume", action="store_true")
     p.add_argument("--tiny", action="store_true",
                    help="tiny config for smoke runs")
+    p.add_argument("--seq-window", type=int, default=2,
+                   help="frames per window (fsdpp)")
+    p.add_argument("--cpu", action="store_true",
+                   help="force the CPU backend (smoke runs)")
     args = p.parse_args()
+
+    if args.cpu:
+        import jax
+        jax.config.update("jax_platforms", "cpu")
 
     if args.model in ("ococcnet", "ctrl"):
         import dataclasses
@@ -71,9 +79,22 @@ def main():
     from objectcentricocccompletion_tpu.training.detector_trainer import \
         train_detector
 
+    frame_kw = dict(max_points=4096, max_gt=32) if args.tiny else {}
     ds = FrameDataset(args.infos, args.data_root,
-                      occ_pred_root=args.occ_pred_root)
+                      occ_pred_root=args.occ_pred_root, **frame_kw)
     print(f"dataset: {len(ds)} frames")
+    if args.model == "fsdpp":
+        from objectcentricocccompletion_tpu.models.fsdpp import (
+            FSDPP, FSDPPConfig, tiny_fsdpp_config)
+        from objectcentricocccompletion_tpu.training.seq_trainer import \
+            train_fsdpp
+        model = FSDPP(tiny_fsdpp_config() if args.tiny else FSDPPConfig())
+        train_fsdpp(model, ds, args.work_dir,
+                    total_steps=args.total_steps or 1000,
+                    window=args.seq_window,
+                    ckpt_interval=args.ckpt_interval, seed=args.seed,
+                    resume=not args.no_resume)
+        return
     if args.model == "centerpoint":
         from objectcentricocccompletion_tpu.models.centerpoint import (
             CenterPointConfig, DynamicCenterPoint, tiny_centerpoint_config)
