@@ -125,3 +125,30 @@ def test_dp_tp_2d_mesh_step():
     _, aux1 = step1d(state_b, shard_batch(batch, make_mesh()), rng)
     np.testing.assert_allclose(float(aux2["loss"]), float(aux1["loss"]),
                                rtol=3e-4)
+
+
+def test_multihost_mesh_single_process():
+    """make_multihost_mesh on one process: model axis innermost, shapes
+    multiply out, and a sharded psum over it matches the local sum."""
+    import jax
+    import jax.numpy as jnp
+    from objectcentricocccompletion_tpu.parallel.multihost import (
+        initialize, make_multihost_mesh, process_allgather, sync_hosts)
+
+    initialize()            # no-op single process
+    mesh = make_multihost_mesh(model_axis_size=2)
+    assert mesh.axis_names == ("data", "model")
+    assert mesh.devices.shape == (jax.device_count() // 2, 2)
+
+    x = jnp.arange(8.0)
+    from jax.sharding import NamedSharding, PartitionSpec as P
+    xs = jax.device_put(x, NamedSharding(mesh, P("data")))
+    total = jax.jit(lambda v: jnp.sum(v))(xs)
+    assert float(total) == float(jnp.sum(x))
+
+    assert process_allgather({"a": 1}) == {"a": 1}
+    sync_hosts()            # no-op single process
+
+    import pytest
+    with pytest.raises(AssertionError):
+        make_multihost_mesh(model_axis_size=3)   # 8 % 3 != 0

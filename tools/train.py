@@ -46,11 +46,20 @@ def main():
                    help="frames per window (fsdpp)")
     p.add_argument("--cpu", action="store_true",
                    help="force the CPU backend (smoke runs)")
+    # multi-host launch (one process per host; replaces dist_train.sh)
+    p.add_argument("--coordinator", default=None,
+                   help="coordinator host:port for multi-host runs")
+    p.add_argument("--num-processes", type=int, default=None)
+    p.add_argument("--process-id", type=int, default=None)
     args = p.parse_args()
 
     if args.cpu:
         import jax
         jax.config.update("jax_platforms", "cpu")
+
+    from objectcentricocccompletion_tpu.parallel.multihost import initialize
+    initialize(coordinator_address=args.coordinator,
+               num_processes=args.num_processes, process_id=args.process_id)
 
     if args.model in ("ococcnet", "ctrl"):
         import dataclasses
