@@ -1,0 +1,104 @@
+"""Detector-family evaluation: jitted prediction over val frames, host NMS,
+KITTI-protocol AP.
+
+Counterpart of the reference's frame-detector test path
+(``tools/test.py`` → ``apis/test.single_gpu_test`` →
+``dataset.evaluate(metric='kitti')`` for its kitti-format Waymo configs):
+one jit-compiled predict per model, frames stream through it at a fixed
+padded size, and the host side does score filtering + rotated-BEV NMS +
+``kitti_eval`` with image-plane difficulty gating.
+"""
+from __future__ import annotations
+
+import numpy as np
+
+from ..data import np_geometry as npg
+from .kitti_eval import difficulty_from_annos, kitti_eval
+
+
+def host_nms(boxes: np.ndarray, scores: np.ndarray, iou_thresh: float = 0.25,
+             max_out: int = 200) -> np.ndarray:
+    """Greedy rotated-BEV-3D NMS on the host; returns kept indices."""
+    order = np.argsort(-scores)
+    keep = []
+    for i in order:
+        if len(keep) >= max_out:
+            break
+        if keep:
+            kept = boxes[np.asarray(keep)]
+            iou = npg.aligned_iou_3d(np.repeat(boxes[i:i + 1], len(kept), 0),
+                                     kept)
+            if np.any(iou > iou_thresh):
+                continue
+        keep.append(int(i))
+    return np.asarray(keep, np.int64)
+
+
+def make_predict_fn(model, family: str):
+    """(params, points, mask) -> (boxes [K,7], scores [K], labels [K],
+    valid [K]) — jittable, static output size."""
+    import jax
+    import jax.numpy as jnp
+
+    if family in ("centerpoint", "sst"):
+        def fn(params, points, mask):
+            return model.apply({"params": params}, points, mask,
+                               method=model.predict)
+    elif family == "fsd":
+        def fn(params, points, mask):
+            out = model.apply({"params": params}, points, mask)
+            scores = jax.nn.sigmoid(jnp.max(out["cls"], -1))
+            labels = jnp.argmax(out["cls"], -1)
+            return out["boxes"], scores, labels, out["cluster_valid"]
+    elif family == "fsd2":    # two-stage: refined boxes, stage-2 scores
+        def fn(params, points, mask):
+            out = model.apply({"params": params}, points, mask)
+            scores = jax.nn.sigmoid(out["cls2"])
+            labels = jnp.argmax(out["cls"], -1)
+            return (out["refined_boxes"], scores, labels,
+                    out["roi_nonempty"])
+    else:
+        raise ValueError(f"unknown detector family: {family}")
+    return jax.jit(fn)
+
+
+def evaluate_detector(model, family: str, params, dataset,
+                      classes=("Car",), score_thresh: float = 0.1,
+                      nms_iou: float = 0.25, max_frames: int | None = None,
+                      seed: int = 0, predict_fn=None) -> dict:
+    """Run the detector over every frame of ``dataset`` (a FrameDataset) and
+    return KITTI AP_R40 per class/difficulty. GT difficulty derives from the
+    kitti-format annos' image-plane box heights (``difficulty_from_annos``).
+
+    ``predict_fn`` overrides the model (same signature as
+    ``make_predict_fn``'s result) — used for oracle checks of the metric
+    plumbing.
+    """
+    predict = predict_fn or make_predict_fn(model, family)
+    rng = np.random.RandomState(seed)
+    n = len(dataset) if max_frames is None else min(max_frames, len(dataset))
+
+    preds, gts = [], []
+    for i in range(n):
+        s = dataset.build_sample(i, rng)
+        b, sc, lb, ok = (np.asarray(x) for x in predict(
+            params, s["points"], s["points_mask"]))
+        m = ok & (sc > score_thresh) & np.isfinite(b).all(-1)
+        b, sc, lb = b[m], sc[m], lb[m]
+        if len(b):
+            k = host_nms(b, sc, nms_iou)
+            b, sc, lb = b[k], sc[k], lb[k]
+        preds.append(dict(boxes=b, scores=sc, labels=lb))
+
+        gv = s["gt_valid"]
+        annos = dataset.infos[i]["annos"]
+        diff = difficulty_from_annos(annos)
+        # annos rows with DontCare / unknown classes were dropped by the
+        # box conversion; realign difficulty to the kept rows
+        names = np.asarray(annos["name"])
+        from ..data.frame_dataset import CLASS_MAP
+        kept = np.asarray([CLASS_MAP.get(nm, -1) >= 0 for nm in names])
+        diff = diff[kept][:int(gv.sum())]
+        gts.append(dict(boxes=s["gt_boxes"][gv], labels=s["gt_labels"][gv],
+                        difficulty=diff))
+    return kitti_eval(preds, gts, classes=classes)

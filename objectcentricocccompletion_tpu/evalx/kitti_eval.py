@@ -41,6 +41,23 @@ def gt_difficulty(heights_px, occlusions, truncations) -> np.ndarray:
     return out
 
 
+def difficulty_from_annos(annos: dict) -> np.ndarray:
+    """Derive per-GT difficulty straight from kitti-format ``annos``:
+    image-plane box height in pixels from ``bbox`` [x1, y1, x2, y2] plus
+    ``occluded``/``truncated`` flags (the reference's ``add_difficulty``
+    recipe in its kitti converters). Missing fields count as unoccluded /
+    untruncated; a missing ``bbox`` counts as tall enough for easy."""
+    n = len(annos["name"]) if "name" in annos else len(annos["bbox"])
+    if "bbox" in annos and len(annos["bbox"]):
+        bbox = np.asarray(annos["bbox"], np.float64)
+        heights = bbox[:, 3] - bbox[:, 1]
+    else:
+        heights = np.full(n, 1e4)
+    occ = np.asarray(annos.get("occluded", np.zeros(n)), np.int64)
+    trunc = np.asarray(annos.get("truncated", np.zeros(n)), np.float64)
+    return gt_difficulty(heights, occ, trunc)
+
+
 def eval_class(pred_boxes_list, pred_scores_list, gt_boxes_list,
                gt_difficulty_list, difficulty: int,
                iou_thresh: float) -> float:

@@ -171,7 +171,8 @@ def decode(preds: dict, voxel_size, pc_range, out_size_factor: int,
     heat = jnp.where(heat == pooled, heat, 0.0)
 
     flat = heat.reshape(-1)  # H*W*ncls
-    scores, idx = jax.lax.top_k(flat, max_out)
+    # small (tiny/test) grids can hold fewer peaks than requested
+    scores, idx = jax.lax.top_k(flat, min(max_out, flat.shape[0]))
     cls = idx % ncls
     pix = idx // ncls
     iy = pix // W

@@ -52,3 +52,74 @@ def test_misses_reduce_ap():
                 difficulty=np.zeros(4, int))]
     m = kitti_eval(preds, gts)
     assert 0.3 < m["Car_3d_easy"] < 0.6
+
+
+def test_difficulty_from_annos():
+    from objectcentricocccompletion_tpu.evalx.kitti_eval import \
+        difficulty_from_annos
+    annos = dict(
+        name=np.array(["Car"] * 4),
+        bbox=np.array([[0, 0, 50, 45],    # 45 px, clean -> easy
+                       [0, 0, 50, 30],    # 30 px -> moderate at best
+                       [0, 0, 50, 30],    # 30 px but occ=2 -> hard
+                       [0, 0, 50, 10]]),  # 10 px -> ignored
+        occluded=np.array([0, 1, 2, 0]),
+        truncated=np.array([0.0, 0.2, 0.4, 0.0]),
+    )
+    d = difficulty_from_annos(annos)
+    assert d.tolist() == [0, 1, 2, 3]
+    # missing occlusion/truncation fields default to clean
+    d2 = difficulty_from_annos(dict(name=np.array(["Car"]),
+                                    bbox=np.array([[0, 0, 9, 50]])))
+    assert d2.tolist() == [0]
+
+
+def test_host_nms():
+    from objectcentricocccompletion_tpu.evalx.detector_eval import host_nms
+    boxes = np.array([
+        [0, 0, 0, 2, 4, 1.5, 0.0],     # kept (highest score)
+        [0.1, 0, 0, 2, 4, 1.5, 0.0],   # overlaps box 0 -> suppressed
+        [10, 10, 0, 2, 4, 1.5, 0.3],   # far away -> kept
+    ])
+    scores = np.array([0.9, 0.8, 0.7])
+    keep = host_nms(boxes, scores, iou_thresh=0.3)
+    assert keep.tolist() == [0, 2]
+    # max_out cap respected
+    assert host_nms(boxes, scores, iou_thresh=0.99, max_out=2).tolist() \
+        == [0, 1]
+
+
+def test_evaluate_detector_oracle(tmp_path):
+    """Oracle predictions (the GT boxes themselves) through the full
+    evaluate_detector chain -> AP 1.0 at every difficulty; shifted boxes
+    -> AP 0. Validates the annos-difficulty realignment + NMS + AP path."""
+    from objectcentricocccompletion_tpu.data.frame_dataset import \
+        FrameDataset
+    from objectcentricocccompletion_tpu.evalx.detector_eval import \
+        evaluate_detector
+    from tests.test_frame_dataset import write_frame_dataset
+
+    info_path = write_frame_dataset(str(tmp_path), num_frames=3)
+    ds = FrameDataset(info_path, str(tmp_path), max_points=4096)
+
+    def oracle(params, points, mask):
+        i = oracle.calls
+        oracle.calls += 1
+        s = ds.build_sample(i, np.random.RandomState(0))
+        n = int(s["gt_valid"].sum())
+        return (s["gt_boxes"][:n], np.full(n, 0.9), s["gt_labels"][:n],
+                np.ones(n, bool))
+    oracle.calls = 0
+    out = evaluate_detector(None, "fsd", None, ds, predict_fn=oracle)
+    assert abs(out["Car_3d_easy"] - 1.0) < 1e-9
+    assert abs(out["Car_3d_moderate"] - 1.0) < 1e-9
+    assert abs(out["Car_3d_hard"] - 1.0) < 1e-9
+
+    def shifted(params, points, mask):
+        b, sc, lb, ok = oracle(params, points, mask)
+        b = b.copy()
+        b[:, :2] += 5.0
+        return b, sc, lb, ok
+    oracle.calls = 0
+    out2 = evaluate_detector(None, "fsd", None, ds, predict_fn=shifted)
+    assert out2["Car_3d_easy"] == 0.0

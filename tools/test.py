@@ -13,20 +13,35 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(
 
 def main():
     p = argparse.ArgumentParser()
-    p.add_argument("model", choices=["ococcnet"])
-    p.add_argument("--proposals", required=True)
-    p.add_argument("--gt-candidates", required=True)
-    p.add_argument("--poses", required=True)
+    p.add_argument("model", choices=["ococcnet", "centerpoint", "sst",
+                                     "fsd"])
+    # tracklet-family inputs (ococcnet)
+    p.add_argument("--proposals")
+    p.add_argument("--gt-candidates")
+    p.add_argument("--poses")
     p.add_argument("--occ-root", default=None)
+    # frame-family inputs (centerpoint / sst / fsd)
+    p.add_argument("--infos", help="kitti-format infos pkl")
+    p.add_argument("--data-root", help="frame data root")
+    p.add_argument("--max-frames", type=int, default=None)
+    p.add_argument("--score-thresh", type=float, default=0.1)
     p.add_argument("--ckpt-dir", required=True)
     p.add_argument("--out-dir", default="work_dirs/eval")
     p.add_argument("--max-tracklets", type=int, default=None)
     p.add_argument("--no-occ", action="store_true")
     p.add_argument("--tiny", action="store_true",
                    help="tiny config for smoke runs")
+    p.add_argument("--cpu", action="store_true",
+                   help="force the CPU backend (smoke runs)")
     args = p.parse_args()
 
     import jax
+    if args.cpu:
+        jax.config.update("jax_platforms", "cpu")
+
+    if args.model != "ococcnet":
+        _eval_detector(args)
+        return
     from objectcentricocccompletion_tpu.configs import (OcOccNetConfig,
                                                         tiny_config)
     from objectcentricocccompletion_tpu.data.loader import TrainLoader
@@ -64,6 +79,68 @@ def main():
     ev = Evaluator(model, params, ds, cfg)
     metrics = ev.run(args.out_dir, max_tracklets=args.max_tracklets,
                      eval_occ=not args.no_occ)
+    print(json.dumps(metrics, indent=2, default=float))
+
+
+def _eval_detector(args):
+    """Frame-detector eval: restore checkpoint, predict over val frames,
+    print KITTI AP (difficulty from image-plane annos)."""
+    import json
+
+    import jax
+    import numpy as np
+    from objectcentricocccompletion_tpu.data.frame_dataset import \
+        FrameDataset
+    from objectcentricocccompletion_tpu.evalx.detector_eval import \
+        evaluate_detector
+    from objectcentricocccompletion_tpu.training.detector_trainer import (
+        DetectorState, FrameLoader)
+    from objectcentricocccompletion_tpu.training.trainer import \
+        CheckpointManager
+
+    if not args.infos or not args.data_root:
+        raise SystemExit(
+            f"{args.model} evaluation needs --infos and --data-root")
+    frame_kw = dict(max_points=4096, max_gt=32) if args.tiny else {}
+    ds = FrameDataset(args.infos, args.data_root, **frame_kw)
+    print(f"dataset: {len(ds)} frames")
+
+    if args.model == "centerpoint":
+        from objectcentricocccompletion_tpu.models.centerpoint import (
+            CenterPointConfig, DynamicCenterPoint, tiny_centerpoint_config)
+        model = DynamicCenterPoint(
+            tiny_centerpoint_config() if args.tiny else CenterPointConfig())
+    elif args.model == "sst":
+        from objectcentricocccompletion_tpu.models.sst_detector import (
+            SSTDetector, SSTDetectorConfig, tiny_sst_detector_config)
+        model = SSTDetector(tiny_sst_detector_config() if args.tiny
+                            else SSTDetectorConfig())
+    else:
+        from objectcentricocccompletion_tpu.models.fsd import (
+            FSD, FSDConfig, tiny_fsd_config)
+        model = FSD(tiny_fsd_config() if args.tiny else FSDConfig())
+
+    sample = next(FrameLoader(ds, 1))
+    import jax.numpy as jnp
+    cpu = jax.devices("cpu")[0]
+    with jax.default_device(cpu):
+        params = model.init(jax.random.PRNGKey(0), sample.points[0],
+                            sample.points_mask[0])["params"]
+        # opt_state isn't used for eval, but the restore template must have
+        # the training optimizer's tree structure
+        from objectcentricocccompletion_tpu.training.optim import \
+            make_optimizer
+        tx, _ = make_optimizer(1e-5, 1000)
+        state = DetectorState(jnp.zeros((), jnp.int32), params,
+                              tx.init(params))
+    restored = CheckpointManager(args.ckpt_dir).restore(state)
+    if restored is None:
+        raise SystemExit(f"no checkpoint found in {args.ckpt_dir}")
+    params = jax.device_put(restored.params)
+
+    metrics = evaluate_detector(model, args.model, params, ds,
+                                score_thresh=args.score_thresh,
+                                max_frames=args.max_frames)
     print(json.dumps(metrics, indent=2, default=float))
 
 

@@ -88,6 +88,9 @@ def main():
     from objectcentricocccompletion_tpu.training.detector_trainer import \
         train_detector
 
+    if not args.infos or not args.data_root:
+        raise SystemExit(
+            f"{args.model} training needs --infos and --data-root")
     frame_kw = dict(max_points=4096, max_gt=32) if args.tiny else {}
     ds = FrameDataset(args.infos, args.data_root,
                       occ_pred_root=args.occ_pred_root, **frame_kw)
