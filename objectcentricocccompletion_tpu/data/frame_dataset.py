@@ -60,7 +60,7 @@ class FrameDataset:
     def __init__(self, info_path: str, data_root: str,
                  max_points: int = 160000, max_gt: int = 128,
                  occ_pred_root: str | None = None, load_dim: int = 6,
-                 use_dim: int = 5):
+                 use_dim: int = 5, db_sampler=None):
         self.infos = _load_pkl(info_path)
         self.data_root = data_root
         self.max_points = max_points
@@ -68,6 +68,8 @@ class FrameDataset:
         self.occ_pred_root = occ_pred_root
         self.load_dim = load_dim
         self.use_dim = use_dim
+        # optional GT copy-paste augmentation (data/dbsampler.py)
+        self.db_sampler = db_sampler
 
     def __len__(self):
         return len(self.infos)
@@ -132,5 +134,9 @@ class FrameDataset:
         gt_boxes[:m] = boxes[:m]
         gt_labels[:m] = labels[:m]
         gt_valid = np.arange(self.max_gt) < m
-        return dict(points=points, points_mask=mask, gt_boxes=gt_boxes,
-                    gt_labels=gt_labels, gt_valid=gt_valid)
+        sample = dict(points=points, points_mask=mask, gt_boxes=gt_boxes,
+                      gt_labels=gt_labels, gt_valid=gt_valid)
+        if self.db_sampler is not None:
+            from .dbsampler import apply_db_sample
+            sample = apply_db_sample(sample, self.db_sampler)
+        return sample

@@ -28,7 +28,7 @@ def write_frame_dataset(root, num_frames=2, seed=0):
         vp = f"velodyne/{i:06d}.bin"
         arr.tofile(os.path.join(root, vp))
         # one GT box in lidar frame, then express in camera coords
-        lidar_box = np.array([5.0 + i, 2.0, -1.0, 2.0, 4.5, 1.8, 0.4])
+        lidar_box = np.array([5.0 + 4.0 * i, 2.0, -1.0, 2.0, 4.5, 1.8, 0.4])
         cam_xyz = (rect @ trv2c) @ np.concatenate(
             [lidar_box[:3], [1.0]])
         annos = dict(

@@ -44,6 +44,12 @@ def main():
                    help="tiny config for smoke runs")
     p.add_argument("--seq-window", type=int, default=2,
                    help="frames per window (fsdpp)")
+    p.add_argument("--gt-sample", type=int, default=0,
+                   help="GT copy-paste augmentation: target objects per "
+                        "class per frame (0 = off)")
+    p.add_argument("--gt-db-min-points", type=int, default=8,
+                   help="min interior points for a GT crop to enter the "
+                        "sampling database")
     p.add_argument("--cpu", action="store_true",
                    help="force the CPU backend (smoke runs)")
     # multi-host launch (one process per host; replaces dist_train.sh)
@@ -95,6 +101,15 @@ def main():
     ds = FrameDataset(args.infos, args.data_root,
                       occ_pred_root=args.occ_pred_root, **frame_kw)
     print(f"dataset: {len(ds)} frames")
+    if args.gt_sample > 0:
+        from objectcentricocccompletion_tpu.data.dbsampler import (
+            DBSampler, GTDatabase)
+        db = GTDatabase.build_from_frames(
+            ds, min_points=args.gt_db_min_points, max_frames=2000)
+        ds.db_sampler = DBSampler(
+            db, {lab: args.gt_sample for lab in db.entries}, seed=args.seed)
+        print(f"gt database: {len(db)} crops, "
+              f"classes {sorted(db.entries)}")
     if args.model == "fsdpp":
         from objectcentricocccompletion_tpu.models.fsdpp import (
             FSDPP, FSDPPConfig, tiny_fsdpp_config)
