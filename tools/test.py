@@ -14,7 +14,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(
 def main():
     p = argparse.ArgumentParser()
     p.add_argument("model", choices=["ococcnet", "centerpoint", "sst",
-                                     "fsd"])
+                                     "fsd", "fsd2"])
     # tracklet-family inputs (ococcnet)
     p.add_argument("--proposals")
     p.add_argument("--gt-candidates")
@@ -115,6 +115,11 @@ def _eval_detector(args):
             SSTDetector, SSTDetectorConfig, tiny_sst_detector_config)
         model = SSTDetector(tiny_sst_detector_config() if args.tiny
                             else SSTDetectorConfig())
+    elif args.model == "fsd2":
+        from objectcentricocccompletion_tpu.models.fsd_two_stage import (
+            TwoStageFSD, TwoStageFSDConfig, tiny_two_stage_config)
+        model = TwoStageFSD(tiny_two_stage_config() if args.tiny
+                            else TwoStageFSDConfig())
     else:
         from objectcentricocccompletion_tpu.models.fsd import (
             FSD, FSDConfig, tiny_fsd_config)

@@ -23,7 +23,7 @@ def main():
     p = argparse.ArgumentParser()
     p.add_argument("model",
                    choices=["ococcnet", "ctrl", "centerpoint", "sst",
-                            "fsd", "fsdpp"],
+                            "fsd", "fsd2", "fsdpp"],
                    help="model family to train")
     # tracklet-family inputs (ococcnet / ctrl)
     p.add_argument("--proposals")
@@ -132,6 +132,19 @@ def main():
             SSTDetector, SSTDetectorConfig, tiny_sst_detector_config)
         model = SSTDetector(tiny_sst_detector_config() if args.tiny
                             else SSTDetectorConfig())
+    elif args.model == "fsd2":
+        from objectcentricocccompletion_tpu.models.fsd_two_stage import (
+            TwoStageFSD, TwoStageFSDConfig, tiny_two_stage_config,
+            two_stage_loss)
+
+        class TwoStageWithLoss(TwoStageFSD):
+            def loss(self, points, mask, gt_boxes, gt_labels, gt_valid):
+                out = self(points, mask)
+                return two_stage_loss(out, points, gt_boxes, gt_labels,
+                                      gt_valid)
+
+        model = TwoStageWithLoss(tiny_two_stage_config() if args.tiny
+                                 else TwoStageFSDConfig())
     else:   # fsd
         from objectcentricocccompletion_tpu.models.fsd import (
             FSD, FSDConfig, fsd_loss, tiny_fsd_config)
