@@ -89,3 +89,31 @@ def three_interpolate(query: jax.Array, points: jax.Array,
     w = 1.0 / jnp.clip(dist, 1e-8, None)
     w = w / jnp.sum(w, -1, keepdims=True)
     return jnp.sum(feats[idx] * w[..., None], axis=1)
+
+
+def assign_score_withk(scores: jax.Array, point_feats: jax.Array,
+                       center_feats: jax.Array, knn_idx: jax.Array,
+                       aggregate: str = "sum") -> jax.Array:
+    """PAConv score-weighted kernel assembly (assign_score_withk_ext,
+    ``ops/paconv/src``): for each query and each of its k neighbors, mix M
+    weight-bank outputs by learned scores and aggregate over neighbors.
+
+    scores      [Q, k, M]   per-neighbor mixing weights over M kernels
+    point_feats [N, M, C]   weight-bank outputs for every support point
+    center_feats[N, M, C]   weight-bank outputs for the centers
+    knn_idx     [Q, k]      neighbor indices (idx 0 column = the center)
+
+    Returns [Q, k, C] mixed features: score-weighted sum over the kernel
+    axis of (neighbor - center) bank outputs, reduced over k if
+    ``aggregate`` is "sum"/"max"/"avg" -> [Q, C].
+    """
+    centers = knn_idx[:, :1]                       # PAConv convention
+    diff = point_feats[knn_idx] - center_feats[centers]   # [Q, k, M, C]
+    mixed = jnp.einsum("qkm,qkmc->qkc", scores, diff)
+    if aggregate == "sum":
+        return jnp.sum(mixed, axis=1)
+    if aggregate == "avg":
+        return jnp.mean(mixed, axis=1)
+    if aggregate == "max":
+        return jnp.max(mixed, axis=1)
+    return mixed

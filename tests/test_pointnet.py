@@ -62,3 +62,27 @@ def test_incremental_points_mask():
     m = incremental_points_mask(prev, prev_m, cur, cur_m,
                                 (0.1, 0.1, 0.1), (0, 0, 0, 4, 4, 4))
     assert np.asarray(m).tolist() == [False, True, False]
+
+
+def test_assign_score_withk():
+    from objectcentricocccompletion_tpu.ops.pointnet import \
+        assign_score_withk
+    rng = np.random.RandomState(0)
+    N, Q, k, M, C = 10, 4, 3, 2, 5
+    scores = jnp.asarray(rng.rand(Q, k, M))
+    pf = jnp.asarray(rng.randn(N, M, C))
+    cf = jnp.asarray(rng.randn(N, M, C))
+    idx = jnp.asarray(rng.randint(0, N, (Q, k)))
+    out = assign_score_withk(scores, pf, cf, idx)
+    assert out.shape == (Q, C)
+    # manual reference for one (q, c)
+    q, c = 1, 2
+    ref = 0.0
+    for kk in range(k):
+        for m in range(M):
+            ref += float(scores[q, kk, m]) * (
+                float(pf[int(idx[q, kk]), m, c])
+                - float(cf[int(idx[q, 0]), m, c]))
+    np.testing.assert_allclose(float(out[q, c]), ref, rtol=1e-5)
+    assert assign_score_withk(scores, pf, cf, idx, "max").shape == (Q, C)
+    assert assign_score_withk(scores, pf, cf, idx, "none").shape == (Q, k, C)
