@@ -74,11 +74,24 @@ def evaluate_detector(model, family: str, params, dataset,
     ``make_predict_fn``'s result) — used for oracle checks of the metric
     plumbing.
     """
+    preds, gts = [], []
+    for pred, gt, _ in _frame_results(model, family, params, dataset,
+                                      score_thresh, nms_iou, max_frames,
+                                      seed, predict_fn):
+        preds.append(pred)
+        gts.append(gt)
+    return kitti_eval(preds, gts, classes=classes)
+
+
+def _frame_results(model, family, params, dataset, score_thresh, nms_iou,
+                   max_frames, seed, predict_fn):
+    """Yields (pred dict, gt dict, meta dict) per frame — the shared loop
+    behind the KITTI and Waymo evaluation paths."""
+    from ..data.frame_dataset import CLASS_MAP
+
     predict = predict_fn or make_predict_fn(model, family)
     rng = np.random.RandomState(seed)
     n = len(dataset) if max_frames is None else min(max_frames, len(dataset))
-
-    preds, gts = [], []
     for i in range(n):
         s = dataset.build_sample(i, rng)
         b, sc, lb, ok = (np.asarray(x) for x in predict(
@@ -88,17 +101,72 @@ def evaluate_detector(model, family: str, params, dataset,
         if len(b):
             k = host_nms(b, sc, nms_iou)
             b, sc, lb = b[k], sc[k], lb[k]
-        preds.append(dict(boxes=b, scores=sc, labels=lb))
+        pred = dict(boxes=b, scores=sc, labels=lb)
 
         gv = s["gt_valid"]
-        annos = dataset.infos[i]["annos"]
+        info = dataset.infos[i]
+        annos = info["annos"]
         diff = difficulty_from_annos(annos)
         # annos rows with DontCare / unknown classes were dropped by the
         # box conversion; realign difficulty to the kept rows
         names = np.asarray(annos["name"])
-        from ..data.frame_dataset import CLASS_MAP
         kept = np.asarray([CLASS_MAP.get(nm, -1) >= 0 for nm in names])
         diff = diff[kept][:int(gv.sum())]
-        gts.append(dict(boxes=s["gt_boxes"][gv], labels=s["gt_labels"][gv],
-                        difficulty=diff))
-    return kitti_eval(preds, gts, classes=classes)
+        gt = dict(boxes=s["gt_boxes"][gv], labels=s["gt_labels"][gv],
+                  difficulty=diff)
+        meta = dict(
+            segment=info.get("segment_name",
+                             info["point_cloud"].get("segment_name",
+                                                     f"seg-{i}")),
+            timestamp=int(info.get("timestamp", i)),
+            points=np.asarray(s["points"])[np.asarray(s["points_mask"])],
+            index=i)
+        yield pred, gt, meta
+
+
+def evaluate_detector_waymo(model, family: str, params, dataset,
+                            out_dir: str, classes=("Car",),
+                            score_thresh: float = 0.05,
+                            nms_iou: float = 0.25,
+                            max_frames: int | None = None, seed: int = 0,
+                            predict_fn=None) -> dict:
+    """Waymo-protocol detector evaluation: predictions and GT stream into
+    wire-format ``.bin`` files and the native C++ binary computes
+    mAP/mAPH (the reference's primary detector metric — its
+    ``--eval waymo`` path via ``compute_detection_metrics_main``).
+
+    GT difficulty: LEVEL_2 when the box holds < 5 points (counted from the
+    frame's own cloud), matching the official heuristic the binary applies
+    through ``num_lidar_points``.
+    """
+    import os
+
+    from ..data.dbsampler import points_in_box_host
+    from .waymo_bin import _CLASS_TO_WAYMO, WaymoObject, write_bin
+    from .waymo_metrics import compute_metrics
+
+    pred_objs, gt_objs = [], []
+    for pred, gt, meta in _frame_results(model, family, params, dataset,
+                                         score_thresh, nms_iou, max_frames,
+                                         seed, predict_fn):
+        seg, ts = meta["segment"], meta["timestamp"]
+        for j, (box, sc, lb) in enumerate(zip(pred["boxes"],
+                                              pred["scores"],
+                                              pred["labels"])):
+            wtype = _CLASS_TO_WAYMO[classes[int(lb)]]
+            pred_objs.append(WaymoObject(
+                tuple(box[:7]), float(sc), wtype, f"p{meta['index']}_{j}",
+                seg, ts))
+        xyz = meta["points"][:, :3]
+        for j, (box, lb) in enumerate(zip(gt["boxes"], gt["labels"])):
+            npts = int(points_in_box_host(xyz, np.asarray(box)).sum())
+            gt_objs.append(WaymoObject(
+                tuple(box[:7]), 1.0, _CLASS_TO_WAYMO[classes[int(lb)]],
+                f"g{meta['index']}_{j}", seg, ts,
+                num_lidar_points=npts, difficulty=1))
+    os.makedirs(out_dir, exist_ok=True)
+    pred_bin = os.path.join(out_dir, "pred.bin")
+    gt_bin = os.path.join(out_dir, "gt.bin")
+    write_bin(pred_objs, pred_bin)
+    write_bin(gt_objs, gt_bin)
+    return compute_metrics(pred_bin, gt_bin)

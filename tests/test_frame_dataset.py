@@ -23,12 +23,21 @@ def write_frame_dataset(root, num_frames=2, seed=0):
                         [0, 0, 0, 1]], np.float64)
     for i in range(num_frames):
         pts = rng.uniform(-20, 20, (3000, 3))
-        extra = rng.rand(3000, 3)
+        # one GT box in lidar frame, then express in camera coords
+        lidar_box = np.array([5.0 + 4.0 * i, 2.0, -1.0, 2.0, 4.5, 1.8, 0.4])
+        # 20 returns inside the box (GT with 0 lidar points are ignored by
+        # the Waymo metric protocol)
+        local = rng.uniform(-0.4, 0.4, (20, 3)) * lidar_box[3:6]
+        c, s = np.cos(lidar_box[6]), np.sin(lidar_box[6])
+        obj = np.stack([local[:, 0] * c - local[:, 1] * s,
+                        local[:, 0] * s + local[:, 1] * c,
+                        local[:, 2]], -1)
+        obj += lidar_box[:3] + np.array([0, 0, lidar_box[5] / 2])
+        pts = np.concatenate([pts, obj], 0)
+        extra = rng.rand(len(pts), 3)
         arr = np.concatenate([pts, extra], -1).astype(np.float32)
         vp = f"velodyne/{i:06d}.bin"
         arr.tofile(os.path.join(root, vp))
-        # one GT box in lidar frame, then express in camera coords
-        lidar_box = np.array([5.0 + 4.0 * i, 2.0, -1.0, 2.0, 4.5, 1.8, 0.4])
         cam_xyz = (rect @ trv2c) @ np.concatenate(
             [lidar_box[:3], [1.0]])
         annos = dict(
@@ -74,7 +83,7 @@ def test_occ_pred_merge(tmp_path):
     np.testing.assert_allclose(merged[:, :3], 3.0)
     # frame 1 (ts 1001) has no occ files -> unchanged count
     s1 = ds.build_sample(1, np.random.RandomState(0))
-    assert s1["points_mask"].sum() == 3000
+    assert s1["points_mask"].sum() == 3020
 
 
 def test_sequences_grouping(tmp_path):

@@ -25,6 +25,9 @@ def main():
     p.add_argument("--data-root", help="frame data root")
     p.add_argument("--max-frames", type=int, default=None)
     p.add_argument("--score-thresh", type=float, default=0.1)
+    p.add_argument("--metric", choices=["kitti", "waymo"], default="kitti",
+                   help="detector metric protocol (waymo = native C++ "
+                        "mAP/mAPH via .bin files)")
     p.add_argument("--ckpt-dir", required=True)
     p.add_argument("--out-dir", default="work_dirs/eval")
     p.add_argument("--max-tracklets", type=int, default=None)
@@ -143,9 +146,16 @@ def _eval_detector(args):
         raise SystemExit(f"no checkpoint found in {args.ckpt_dir}")
     params = jax.device_put(restored.params)
 
-    metrics = evaluate_detector(model, args.model, params, ds,
-                                score_thresh=args.score_thresh,
-                                max_frames=args.max_frames)
+    if args.metric == "waymo":
+        from objectcentricocccompletion_tpu.evalx.detector_eval import \
+            evaluate_detector_waymo
+        metrics = evaluate_detector_waymo(
+            model, args.model, params, ds, args.out_dir,
+            score_thresh=args.score_thresh, max_frames=args.max_frames)
+    else:
+        metrics = evaluate_detector(model, args.model, params, ds,
+                                    score_thresh=args.score_thresh,
+                                    max_frames=args.max_frames)
     print(json.dumps(metrics, indent=2, default=float))
 
 
