@@ -88,3 +88,53 @@ def test_full_bridge_to_model(tmp_path):
     total, aux = model.apply(variables, batch, train=False)
     assert np.isfinite(float(total))
     assert float(aux["num_pos_rois"]) > 0
+
+
+def test_create_data_tracklets_cli(tmp_path):
+    """tools/create_data.py tracklets: .bin -> tracklet dataset consumable
+    by TrackletDataset (the detector -> OcOccNet/CTRL bridge)."""
+    import os
+    import subprocess
+    import sys
+
+    from objectcentricocccompletion_tpu.configs import tiny_config
+    from objectcentricocccompletion_tpu.data.frame_dataset import \
+        FrameDataset
+    from objectcentricocccompletion_tpu.data.tracklet_dataset import \
+        TrackletDataset
+    from objectcentricocccompletion_tpu.evalx.waymo_bin import (
+        WaymoObject, write_bin)
+    from tests.test_frame_dataset import write_frame_dataset
+
+    info_path = write_frame_dataset(str(tmp_path), num_frames=3)
+    ds = FrameDataset(info_path, str(tmp_path), max_points=4096)
+    objs = []
+    for i in range(3):
+        s = ds.build_sample(i, np.random.RandomState(0))
+        info = ds.infos[i]
+        for box in s["gt_boxes"][s["gt_valid"]]:
+            objs.append(WaymoObject(tuple(box), 1.0, 1, "trk-shared",
+                                    info["segment_name"],
+                                    int(info["timestamp"])))
+    gt_bin = str(tmp_path / "gt.bin")
+    write_bin(objs, gt_bin)
+
+    out_dir = str(tmp_path / "prep")
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    r = subprocess.run(
+        [sys.executable, os.path.join(repo, "tools", "create_data.py"),
+         "tracklets", "--pred-bin", gt_bin, "--gt-bin", gt_bin,
+         "--infos", info_path, "--data-root", str(tmp_path),
+         "--out-dir", out_dir],
+        capture_output=True, text=True, timeout=120)
+    assert r.returncode == 0, r.stderr
+
+    tds = TrackletDataset(
+        proposals_file=os.path.join(out_dir, "proposals.pkl"),
+        gt_candidates_file=os.path.join(out_dir, "gt_candidates.pkl"),
+        pose_file=os.path.join(out_dir, "poses.pkl"), occ_anno_root=None,
+        cfg=tiny_config(), min_tracklet_length=1, min_tracklet_points=1)
+    assert len(tds) == 1            # one shared track id, 3 frames
+    s = tds.build_sample(0, np.random.RandomState(0))
+    assert int(s["points_mask"].sum()) > 0
+    assert int(s["gt_valid"].sum()) > 0
