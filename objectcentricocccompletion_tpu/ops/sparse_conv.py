@@ -30,6 +30,10 @@ class SparseGrid(NamedTuple):
     sorted_keys: jax.Array   # [V] int64 (invalid -> +inf key)
     sorted_to_slot: jax.Array  # [V] int32: position in coords for sorted key
     grid_shape: tuple        # static (gx, gy, gz)
+    # [gx*gy*gz] int32 linear-key -> slot (-1 empty); None for huge grids.
+    # O(1) gather lookup instead of O(log V) binary search per query;
+    # default whenever the map fits in HBM (both paths verified equal).
+    dense_index: jax.Array | None = None
 
 
 def _keys(coords: jax.Array, valid: jax.Array, grid_shape) -> jax.Array:
@@ -44,13 +48,30 @@ def _keys(coords: jax.Array, valid: jax.Array, grid_shape) -> jax.Array:
     return jnp.where(valid, key, jnp.int32(gx) * gy * gz + 1)
 
 
+# dense index allowed up to this many cells (int32 -> 128 MB HBM at 2^25)
+DENSE_INDEX_MAX_CELLS = 2 ** 25
+
+
 def build_grid(coords: jax.Array, valid: jax.Array,
-               grid_shape: Sequence[int]) -> SparseGrid:
+               grid_shape: Sequence[int],
+               dense_index: bool | None = None) -> SparseGrid:
+    """``dense_index``: force (True/False) or auto (None: dense when the
+    grid has <= DENSE_INDEX_MAX_CELLS cells)."""
     grid_shape = tuple(int(g) for g in grid_shape)
+    n_cells = grid_shape[0] * grid_shape[1] * grid_shape[2]
+    if dense_index is None:
+        dense_index = n_cells <= DENSE_INDEX_MAX_CELLS
     key = _keys(coords, valid, grid_shape)
+    if dense_index:
+        V = coords.shape[0]
+        # invalid rows carry the sentinel key n_cells+1 -> pad slot, sliced
+        dense = jnp.full((n_cells + 2,), -1, jnp.int32)
+        dense = dense.at[key].set(jnp.arange(V, dtype=jnp.int32))[:n_cells]
+        empty = jnp.zeros((0,), jnp.int32)
+        return SparseGrid(coords, valid, empty, empty, grid_shape, dense)
     order = jnp.argsort(key)
     return SparseGrid(coords, valid, key[order], order.astype(jnp.int32),
-                      grid_shape)
+                      grid_shape, None)
 
 
 def lookup(grid: SparseGrid, query_coords: jax.Array,
@@ -62,6 +83,10 @@ def lookup(grid: SparseGrid, query_coords: jax.Array,
         & (query_coords < jnp.asarray([gx, gy, gz], jnp.int32)), axis=-1)
     qv = query_valid & in_bounds
     qkey = _keys(query_coords, qv, grid.grid_shape)
+    if grid.dense_index is not None:
+        n = grid.dense_index.shape[0]
+        slot = grid.dense_index[jnp.clip(qkey, 0, n - 1)]
+        return jnp.where(qv & (qkey < n), slot, -1)
     pos = jnp.searchsorted(grid.sorted_keys, qkey)
     pos = jnp.clip(pos, 0, grid.sorted_keys.shape[0] - 1)
     hit = (grid.sorted_keys[pos] == qkey) & qv

@@ -118,3 +118,34 @@ def test_scatter_to_dense():
     assert float(dense[0, 1, 0, 0]) == 1.0
     assert float(dense[2, 2, 2, 0]) == 2.0
     assert float(jnp.abs(dense).sum()) == 3.0
+
+
+def test_dense_index_matches_search():
+    """Dense-index lookup == binary-search lookup on the same voxel set,
+    including misses, out-of-bounds queries, and invalid rows."""
+    rng = np.random.RandomState(3)
+    G = (32, 32, 8)
+    V = 200
+    lin = rng.choice(G[0] * G[1] * G[2], V, replace=False)
+    coords = jnp.asarray(np.stack(
+        [lin // (G[1] * G[2]), (lin // G[2]) % G[1], lin % G[2]],
+        -1).astype(np.int32))
+    valid = jnp.asarray(np.arange(V) < 150)
+
+    q = np.asarray(rng.randint(-2, 34, (300, 3)).astype(np.int32))
+    q[:50] = np.asarray(coords)[rng.randint(0, V, 50)]  # guaranteed probes
+    q = jnp.asarray(q)
+    qv = jnp.asarray(rng.rand(300) > 0.1)
+
+    g_dense = sc.build_grid(coords, valid, G, dense_index=True)
+    g_search = sc.build_grid(coords, valid, G, dense_index=False)
+    assert g_dense.dense_index is not None
+    assert g_search.dense_index is None
+    a = sc.lookup(g_dense, q, qv)
+    b = sc.lookup(g_search, q, qv)
+    np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    # hits resolve to the right slots
+    hits = np.asarray(a) >= 0
+    assert hits.any()
+    np.testing.assert_array_equal(
+        np.asarray(coords)[np.asarray(a)[hits]], np.asarray(q)[hits])
