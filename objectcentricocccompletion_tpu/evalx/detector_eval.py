@@ -62,6 +62,78 @@ def make_predict_fn(model, family: str):
     return jax.jit(fn)
 
 
+def make_sequential_predict_fn(model):
+    """FSD++ evaluation: one jitted sequence step returning both the new
+    memory and the frame's detections (scored on the merged memory+frame
+    cloud — ``two_stage_fsdpp.py`` simple_test semantics). The caller
+    threads SequenceState through a sequence and resets it per sequence."""
+    import jax
+    import jax.numpy as jnp
+
+    @jax.jit
+    def step(params, mem, points, mask):
+        new_mem, out = model.apply({"params": params}, mem, points, mask)
+        scores = jax.nn.sigmoid(jnp.max(out["cls"], -1))
+        labels = jnp.argmax(out["cls"], -1)
+        return new_mem, (out["boxes"], scores, labels, out["cluster_valid"])
+
+    return step
+
+
+def evaluate_detector_sequential(model, params, dataset, classes=("Car",),
+                                 score_thresh: float = 0.1,
+                                 nms_iou: float = 0.25,
+                                 max_frames: int | None = None,
+                                 seed: int = 0) -> dict:
+    """KITTI AP for FSD++: frames stream per driving segment in time order
+    with the point memory carried across frames and reset at sequence
+    boundaries (``dataset.sequences()``)."""
+    import jax.numpy as jnp
+
+    from ..data.frame_dataset import CLASS_MAP
+    from ..models.fsdpp import SequenceState
+
+    step = make_sequential_predict_fn(model)
+    rng = np.random.RandomState(seed)
+    budget = len(dataset) if max_frames is None else max_frames
+
+    preds, gts = [], []
+    done = 0
+    for seq in dataset.sequences():
+        mem = None
+        for idx in seq:
+            if done >= budget:
+                break
+            s = dataset.build_sample(idx, rng)
+            if mem is None:
+                m = model.cfg.memory_size
+                mem = SequenceState(
+                    jnp.zeros((m, s["points"].shape[-1])),
+                    jnp.zeros((m,), bool))
+            mem, (b, sc, lb, ok) = step(params, mem, s["points"],
+                                        s["points_mask"])
+            b, sc, lb, ok = (np.asarray(x) for x in (b, sc, lb, ok))
+            keep = ok & (sc > score_thresh) & np.isfinite(b).all(-1)
+            b, sc, lb = b[keep], sc[keep], lb[keep]
+            if len(b):
+                k = host_nms(b, sc, nms_iou)
+                b, sc, lb = b[k], sc[k], lb[k]
+            preds.append(dict(boxes=b, scores=sc, labels=lb))
+
+            gv = s["gt_valid"]
+            annos = dataset.infos[idx]["annos"]
+            diff = difficulty_from_annos(annos)
+            names = np.asarray(annos["name"])
+            kept = np.asarray([CLASS_MAP.get(nm, -1) >= 0 for nm in names])
+            gts.append(dict(boxes=s["gt_boxes"][gv],
+                            labels=s["gt_labels"][gv],
+                            difficulty=diff[kept][:int(gv.sum())]))
+            done += 1
+        if done >= budget:
+            break
+    return kitti_eval(preds, gts, classes=classes)
+
+
 def evaluate_detector(model, family: str, params, dataset,
                       classes=("Car",), score_thresh: float = 0.1,
                       nms_iou: float = 0.25, max_frames: int | None = None,

@@ -14,7 +14,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(
 def main():
     p = argparse.ArgumentParser()
     p.add_argument("model", choices=["ococcnet", "centerpoint", "sst",
-                                     "fsd", "fsd2"])
+                                     "fsd", "fsd2", "fsdpp"])
     # tracklet-family inputs (ococcnet)
     p.add_argument("--proposals")
     p.add_argument("--gt-candidates")
@@ -123,6 +123,10 @@ def _eval_detector(args):
             TwoStageFSD, TwoStageFSDConfig, tiny_two_stage_config)
         model = TwoStageFSD(tiny_two_stage_config() if args.tiny
                             else TwoStageFSDConfig())
+    elif args.model == "fsdpp":
+        from objectcentricocccompletion_tpu.models.fsdpp import (
+            FSDPP, FSDPPConfig, tiny_fsdpp_config)
+        model = FSDPP(tiny_fsdpp_config() if args.tiny else FSDPPConfig())
     else:
         from objectcentricocccompletion_tpu.models.fsd import (
             FSD, FSDConfig, tiny_fsd_config)
@@ -132,8 +136,19 @@ def _eval_detector(args):
     import jax.numpy as jnp
     cpu = jax.devices("cpu")[0]
     with jax.default_device(cpu):
-        params = model.init(jax.random.PRNGKey(0), sample.points[0],
-                            sample.points_mask[0])["params"]
+        if args.model == "fsdpp":
+            from objectcentricocccompletion_tpu.models.fsdpp import \
+                SequenceState
+            mem0 = SequenceState(
+                jnp.zeros((model.cfg.memory_size,
+                           sample.points.shape[-1])),
+                jnp.zeros((model.cfg.memory_size,), bool))
+            params = model.init(jax.random.PRNGKey(0), mem0,
+                                sample.points[0],
+                                sample.points_mask[0])["params"]
+        else:
+            params = model.init(jax.random.PRNGKey(0), sample.points[0],
+                                sample.points_mask[0])["params"]
         # opt_state isn't used for eval, but the restore template must have
         # the training optimizer's tree structure
         from objectcentricocccompletion_tpu.training.optim import \
@@ -146,7 +161,16 @@ def _eval_detector(args):
         raise SystemExit(f"no checkpoint found in {args.ckpt_dir}")
     params = jax.device_put(restored.params)
 
-    if args.metric == "waymo":
+    if args.model == "fsdpp":
+        if args.metric == "waymo":
+            raise SystemExit("fsdpp currently evaluates with the KITTI "
+                             "protocol (--metric kitti)")
+        from objectcentricocccompletion_tpu.evalx.detector_eval import \
+            evaluate_detector_sequential
+        metrics = evaluate_detector_sequential(
+            model, params, ds, score_thresh=args.score_thresh,
+            max_frames=args.max_frames)
+    elif args.metric == "waymo":
         from objectcentricocccompletion_tpu.evalx.detector_eval import \
             evaluate_detector_waymo
         metrics = evaluate_detector_waymo(
