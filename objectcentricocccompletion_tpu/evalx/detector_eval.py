@@ -80,30 +80,25 @@ def make_sequential_predict_fn(model):
     return step
 
 
-def evaluate_detector_sequential(model, params, dataset, classes=("Car",),
-                                 score_thresh: float = 0.1,
-                                 nms_iou: float = 0.25,
-                                 max_frames: int | None = None,
-                                 seed: int = 0) -> dict:
-    """KITTI AP for FSD++: frames stream per driving segment in time order
-    with the point memory carried across frames and reset at sequence
-    boundaries (``dataset.sequences()``)."""
+def _sequential_results(model, params, dataset, score_thresh, nms_iou,
+                        max_frames, seed):
+    """Yields (pred, gt, meta) per frame, streaming frames per driving
+    segment in time order with the FSD++ point memory carried across
+    frames and reset at sequence boundaries (``dataset.sequences()``)."""
     import jax.numpy as jnp
 
-    from ..data.frame_dataset import CLASS_MAP
     from ..models.fsdpp import SequenceState
 
     step = make_sequential_predict_fn(model)
     rng = np.random.RandomState(seed)
     budget = len(dataset) if max_frames is None else max_frames
 
-    preds, gts = [], []
     done = 0
     for seq in dataset.sequences():
         mem = None
         for idx in seq:
             if done >= budget:
-                break
+                return
             s = dataset.build_sample(idx, rng)
             if mem is None:
                 m = model.cfg.memory_size
@@ -118,19 +113,29 @@ def evaluate_detector_sequential(model, params, dataset, classes=("Car",),
             if len(b):
                 k = host_nms(b, sc, nms_iou)
                 b, sc, lb = b[k], sc[k], lb[k]
-            preds.append(dict(boxes=b, scores=sc, labels=lb))
-
-            gv = s["gt_valid"]
-            annos = dataset.infos[idx]["annos"]
-            diff = difficulty_from_annos(annos)
-            names = np.asarray(annos["name"])
-            kept = np.asarray([CLASS_MAP.get(nm, -1) >= 0 for nm in names])
-            gts.append(dict(boxes=s["gt_boxes"][gv],
-                            labels=s["gt_labels"][gv],
-                            difficulty=diff[kept][:int(gv.sum())]))
+            gt, meta = _gt_and_meta(dataset, idx, s)
+            yield dict(boxes=b, scores=sc, labels=lb), gt, meta
             done += 1
-        if done >= budget:
-            break
+
+
+def evaluate_detector_sequential(model, params, dataset, classes=("Car",),
+                                 score_thresh: float = 0.1,
+                                 nms_iou: float = 0.25,
+                                 max_frames: int | None = None,
+                                 seed: int = 0, metric: str = "kitti",
+                                 out_dir: str | None = None) -> dict:
+    """FSD++ evaluation over memory-threaded sequences: KITTI AP
+    (``metric="kitti"``) or native Waymo mAP/mAPH (``metric="waymo"``,
+    needs ``out_dir`` for the .bin files)."""
+    results = _sequential_results(model, params, dataset, score_thresh,
+                                  nms_iou, max_frames, seed)
+    if metric == "waymo":
+        assert out_dir is not None, "waymo metric needs out_dir"
+        return _score_waymo(results, out_dir, classes)
+    preds, gts = [], []
+    for pred, gt, _ in results:
+        preds.append(pred)
+        gts.append(gt)
     return kitti_eval(preds, gts, classes=classes)
 
 
@@ -174,26 +179,34 @@ def _frame_results(model, family, params, dataset, score_thresh, nms_iou,
             k = host_nms(b, sc, nms_iou)
             b, sc, lb = b[k], sc[k], lb[k]
         pred = dict(boxes=b, scores=sc, labels=lb)
-
-        gv = s["gt_valid"]
-        info = dataset.infos[i]
-        annos = info["annos"]
-        diff = difficulty_from_annos(annos)
-        # annos rows with DontCare / unknown classes were dropped by the
-        # box conversion; realign difficulty to the kept rows
-        names = np.asarray(annos["name"])
-        kept = np.asarray([CLASS_MAP.get(nm, -1) >= 0 for nm in names])
-        diff = diff[kept][:int(gv.sum())]
-        gt = dict(boxes=s["gt_boxes"][gv], labels=s["gt_labels"][gv],
-                  difficulty=diff)
-        meta = dict(
-            segment=info.get("segment_name",
-                             info["point_cloud"].get("segment_name",
-                                                     f"seg-{i}")),
-            timestamp=int(info.get("timestamp", i)),
-            points=np.asarray(s["points"])[np.asarray(s["points_mask"])],
-            index=i)
+        gt, meta = _gt_and_meta(dataset, i, s)
         yield pred, gt, meta
+
+
+def _gt_and_meta(dataset, idx, s):
+    """Per-frame GT (with annos-derived difficulty realigned to the kept
+    boxes) and frame metadata, shared by every evaluation path."""
+    from ..data.frame_dataset import CLASS_MAP
+
+    gv = s["gt_valid"]
+    info = dataset.infos[idx]
+    annos = info["annos"]
+    diff = difficulty_from_annos(annos)
+    # annos rows with DontCare / unknown classes were dropped by the
+    # box conversion; realign difficulty to the kept rows
+    names = np.asarray(annos["name"])
+    kept = np.asarray([CLASS_MAP.get(nm, -1) >= 0 for nm in names])
+    diff = diff[kept][:int(gv.sum())]
+    gt = dict(boxes=s["gt_boxes"][gv], labels=s["gt_labels"][gv],
+              difficulty=diff)
+    meta = dict(
+        segment=info.get("segment_name",
+                         info["point_cloud"].get("segment_name",
+                                                 f"seg-{idx}")),
+        timestamp=int(info.get("timestamp", idx)),
+        points=np.asarray(s["points"])[np.asarray(s["points_mask"])],
+        index=idx)
+    return gt, meta
 
 
 def evaluate_detector_waymo(model, family: str, params, dataset,
@@ -211,6 +224,13 @@ def evaluate_detector_waymo(model, family: str, params, dataset,
     frame's own cloud), matching the official heuristic the binary applies
     through ``num_lidar_points``.
     """
+    results = _frame_results(model, family, params, dataset, score_thresh,
+                             nms_iou, max_frames, seed, predict_fn)
+    return _score_waymo(results, out_dir, classes)
+
+
+def _score_waymo(results, out_dir: str, classes) -> dict:
+    """(pred, gt, meta) stream -> pred/gt .bin files -> native binary."""
     import os
 
     from ..data.dbsampler import points_in_box_host
@@ -218,9 +238,7 @@ def evaluate_detector_waymo(model, family: str, params, dataset,
     from .waymo_metrics import compute_metrics
 
     pred_objs, gt_objs = [], []
-    for pred, gt, meta in _frame_results(model, family, params, dataset,
-                                         score_thresh, nms_iou, max_frames,
-                                         seed, predict_fn):
+    for pred, gt, meta in results:
         seg, ts = meta["segment"], meta["timestamp"]
         for j, (box, sc, lb) in enumerate(zip(pred["boxes"],
                                               pred["scores"],

@@ -162,14 +162,12 @@ def _eval_detector(args):
     params = jax.device_put(restored.params)
 
     if args.model == "fsdpp":
-        if args.metric == "waymo":
-            raise SystemExit("fsdpp currently evaluates with the KITTI "
-                             "protocol (--metric kitti)")
         from objectcentricocccompletion_tpu.evalx.detector_eval import \
             evaluate_detector_sequential
         metrics = evaluate_detector_sequential(
             model, params, ds, score_thresh=args.score_thresh,
-            max_frames=args.max_frames)
+            max_frames=args.max_frames, metric=args.metric,
+            out_dir=args.out_dir)
     elif args.metric == "waymo":
         from objectcentricocccompletion_tpu.evalx.detector_eval import \
             evaluate_detector_waymo
