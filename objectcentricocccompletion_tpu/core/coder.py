@@ -53,6 +53,32 @@ def decode(anchors: jax.Array, deltas: jax.Array) -> jax.Array:
     return jnp.concatenate([xg, yg, zg, wg, lg, hg, rg], axis=-1)
 
 
+POINT_EPS = 1e-6
+
+
+def point_encode(boxes: jax.Array, base_points: jax.Array) -> jax.Array:
+    """``BasePointBBoxCoder.encode`` (``core/bbox/coders/
+    base_point_bbox_coder.py:36-58``): regression target of a box w.r.t. its
+    cluster base point — [delta_xyz, log dims, sin yaw, cos yaw] (8-d)."""
+    delta = boxes[..., :3] - base_points
+    log_dims = jnp.log(boxes[..., 3:6] + POINT_EPS)
+    yaw = boxes[..., 6:7]
+    return jnp.concatenate(
+        [delta, log_dims, jnp.sin(yaw), jnp.cos(yaw)], axis=-1)
+
+
+def point_decode(reg: jax.Array, base_points: jax.Array) -> jax.Array:
+    """Inverse of :func:`point_encode` (``base_point_bbox_coder.py:60-82``).
+    Safe atan2 at the exact (0, 0) corner keeps gradients finite."""
+    xyz = reg[..., :3] + base_points
+    dims = jnp.exp(reg[..., 3:6]) - POINT_EPS
+    sn, cs = reg[..., 6], reg[..., 7]
+    ok = sn * sn + cs * cs > 1e-12
+    yaw = jnp.where(ok, jnp.arctan2(jnp.where(ok, sn, 0.0),
+                                    jnp.where(ok, cs, 1.0)), 0.0)
+    return jnp.concatenate([xyz, dims, yaw[..., None]], axis=-1)
+
+
 def canonical_yaw_target(rel_yaw: jax.Array) -> jax.Array:
     """Flip-invariant heading target in (-pi/2, pi/2].
 

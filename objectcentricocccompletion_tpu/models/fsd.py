@@ -1,70 +1,143 @@
-"""FSD — fully sparse detector (W4), single-stage.
+"""FSD — fully sparse detector (W4), single-stage, multi-class.
 
 Rebuild of the reference ``SingleStageFSD``
-(``models/detectors/single_stage_fsd.py:156-1200``):
-  1. ``VoteSegmentor``: dynamic voxelization -> DynamicVFE -> sparse UNet
-     (``SimpleSparseUNet``) -> per-point features -> ``VoteSegHead`` giving
-     foreground logits + center-vote offsets,
-  2. vote-shifted foreground points cluster into instances — the reference's
-     CPU scipy connected-components becomes on-device label propagation
-     (``ops/cluster.py``),
-  3. a segment-form SIR encoder summarizes each cluster,
-  4. ``SparseClusterHeadV2``-style MLPs predict per-cluster class scores and
-     boxes (center = cluster mean + regressed delta, log sizes, sin/cos yaw).
+(``models/detectors/single_stage_fsd.py:391-1000``) at reference depth:
 
-Shapes are static throughout: fixed budgets for points, voxels, foreground
-points, and clusters, all masked.
+  1. ``VoteSegmentor``: dynamic voxelization -> DynamicVFE -> sparse UNet
+     (``SimpleSparseUNet``) -> per-point features -> ``VoteSegHead``
+     (``models/decode_heads/segmentation_head.py``) emitting per-class
+     foreground logits and PER-CLASS center-vote offsets [N, ncls, 3],
+  2. per-class foreground sampling (``SingleStageFSD.sample``,
+     ``:700-748``): sigmoid score of class c against its own threshold,
+     vote-shift by the class-c offset,
+  3. ``ClusterAssigner`` (``:922-1000``) per class: voxelize the shifted
+     centers at the CLASS-SPECIFIC cluster_voxel_size, drop almost-empty
+     voxels (min_points), then connected components linking voxels whose
+     mean centers lie within the class-specific ``connected_dist`` in the
+     xy-plane — the CPU scipy call becomes on-device label propagation
+     (``ops/cluster.py::connected_components_dist``),
+  4. ``SIR`` backbone over clusters (``models/backbones/sir.py:16-87``):
+     ``num_blocks`` true SIRLayer blocks (rel-MLP gate + 2 VFE layers +
+     per-cluster max) in segment form, cluster descriptor = concat of all
+     block maxima (2 * C1 * num_blocks channels),
+  5. ``SparseClusterHeadV2`` (``models/dense_heads/sparse_cluster_head_v2.py:45``):
+     shared MLP then one ``FSDSeparateHead`` per task (= per class on
+     Waymo) with separate center/dim/rot/score branches; boxes decode with
+     ``BasePointBBoxCoder`` against the cluster's vote-center mean.
+
+``use_clustering=False`` selects the FSDv2 path
+(``single_stage_fsd_v2.py:37``): no connected components — vote-shifted
+points voxelize into per-class VIRTUAL voxels (each its own instance), the
+virtual-point projector MLP embeds shifted coords + point features, and the
+same task-head structure (= ``FSDV2Head``, ``fsd_v2_head.py:18``) predicts
+per virtual voxel.
+
+Everything is static-shape: per-class budgets for foreground points and
+clusters, all masked.
 """
 from __future__ import annotations
 
 import dataclasses
-from typing import Sequence
+from typing import Sequence, Tuple
 
 import flax.linen as nn
 import jax
 import jax.numpy as jnp
+import numpy as np
 
+from ..core import coder
 from ..ops import cluster as cl
-from ..ops import sparse_conv as sc
 from ..ops import voxelize as vx
-from .layers import LN_EPS, Mlp
+from .layers import Mlp
 from .sparse_encoder import SparseBasicBlock, SubMConv
 from .vfe import DynamicVFE
+
+from ..ops import sparse_conv as sc
 
 
 @dataclasses.dataclass(frozen=True)
 class FSDConfig:
+    # classes (configs/fsd/fsd_waymoD1_1x.py:9)
+    class_names: Tuple[str, ...] = ("Car", "Pedestrian", "Cyclist")
+
+    # segmentor (seg_voxel_size / point_cloud_range, fsd_waymoD1_1x.py:7-8)
     voxel_size: Sequence[float] = (0.32, 0.32, 0.6)
     pc_range: Sequence[float] = (-74.88, -74.88, -2.0, 74.88, 74.88, 4.0)
     max_points: int = 160000
     max_voxels: int = 40000
     vfe_channels: Sequence[int] = (64, 64)
     unet_channels: Sequence[int] = (64, 64, 128)   # per level
-    max_fg_points: int = 4096
-    cluster_voxel_size: Sequence[float] = (0.5, 0.5, 6.0)
-    max_clusters: int = 256
-    num_classes: int = 1
-    seg_score_thresh: float = 0.3
-    head_channels: int = 256
-    # True = FSD (connected-component clusters); False = FSDv2-style virtual
-    # voxels (every occupied vote-voxel is its own instance;
-    # models/detectors/single_stage_fsd_v2.py:37)
+    seg_head_hidden: Sequence[int] = (128, 128)    # VoteSegHead hidden_dims
+
+    # per-class sampling + clustering (fsd_waymoD1_1x.py:10,273-289)
+    seg_score_thresh: Tuple[float, ...] = (0.3, 0.25, 0.25)
+    max_fg_per_class: int = 4096
+    cluster_voxel_size: Tuple[Tuple[float, float, float], ...] = (
+        (0.3, 0.3, 6.0), (0.05, 0.05, 6.0), (0.2, 0.2, 6.0))
+    connected_dist: Tuple[float, ...] = (0.6, 0.1, 0.4)
+    min_points: int = 2
+    max_clusters_per_class: int = 128
+    max_cluster_voxels: int = 512     # per-class voxel budget for clustering
+
+    # SIR backbone (fsd_waymoD1_1x.py:99-110)
+    sir_blocks: int = 3
+    sir_channels: Tuple[int, int] = (128, 128)
+    rel_mlp_hidden: Tuple[int, int] = (16, 32)
+    xyz_normalizer: Tuple[float, float, float] = (20.0, 20.0, 4.0)
+
+    # SparseClusterHeadV2 (fsd_waymoD1_1x.py:112-140)
+    shared_mlp: Tuple[int, ...] = (1024, 1024)
+    head_hidden: int = 128
+    head_layers: int = 2
+
+    # losses (fsd_waymoD1_1x.py:70-84,115-124)
+    seg_focal_gamma: float = 3.0
+    seg_focal_alpha: float = 0.8
+    seg_weight: float = 1.0
+    vote_weight: float = 1.0
+    cls_focal_gamma: float = 2.0
+    cls_focal_alpha: float = 0.25
+    cls_weight: float = 2.0
+    center_weight: float = 0.5
+    size_weight: float = 0.5
+    rot_weight: float = 0.2
+
+    # True = FSD (per-class connected-component clusters); False = FSDv2
+    # virtual voxels (single_stage_fsd_v2.py:37)
     use_clustering: bool = True
+    virtual_proj_hidden: Tuple[int, ...] = (64, 64)   # FSDv2 projector
+
+    @property
+    def num_classes(self) -> int:
+        return len(self.class_names)
+
+    @property
+    def max_clusters(self) -> int:
+        return self.num_classes * self.max_clusters_per_class
 
     @property
     def grid_shape(self):
-        import numpy as np
         return tuple(np.round(
             (np.asarray(self.pc_range[3:]) - np.asarray(self.pc_range[:3]))
             / np.asarray(self.voxel_size)).astype(int))
 
 
-def tiny_fsd_config() -> FSDConfig:
-    return FSDConfig(voxel_size=(0.8, 0.8, 1.2),
-                     pc_range=(-9.6, -9.6, -2.0, 9.6, 9.6, 2.8),
-                     max_points=4096, max_voxels=2048, vfe_channels=(16, 16),
-                     unet_channels=(16, 32, 32), max_fg_points=512,
-                     max_clusters=32, head_channels=64)
+def tiny_fsd_config(num_classes: int = 3) -> FSDConfig:
+    names = ("Car", "Pedestrian", "Cyclist")[:num_classes]
+    return FSDConfig(
+        class_names=names,
+        voxel_size=(0.8, 0.8, 1.2),
+        pc_range=(-9.6, -9.6, -2.0, 9.6, 9.6, 2.8),
+        max_points=4096, max_voxels=2048, vfe_channels=(16, 16),
+        unet_channels=(16, 32, 32), seg_head_hidden=(32,),
+        seg_score_thresh=(0.3, 0.25, 0.25)[:num_classes],
+        max_fg_per_class=256,
+        cluster_voxel_size=((0.5, 0.5, 4.8), (0.2, 0.2, 4.8),
+                            (0.4, 0.4, 4.8))[:num_classes],
+        connected_dist=(0.6, 0.2, 0.4)[:num_classes],
+        max_clusters_per_class=16, max_cluster_voxels=128,
+        sir_blocks=2, sir_channels=(32, 32), rel_mlp_hidden=(8, 16),
+        shared_mlp=(64,), head_hidden=32)
 
 
 class SparseUNet(nn.Module):
@@ -78,6 +151,7 @@ class SparseUNet(nn.Module):
         levels = []
         grid = sc.build_grid(coords, valid, grid_shape)
         offs = sc.kernel_offsets(3)
+        from .layers import LN_EPS
         x = feats
         for i, c in enumerate(self.channels):
             if i > 0:
@@ -114,27 +188,111 @@ class SparseUNet(nn.Module):
         return x  # per-finest-voxel features
 
 
+class SegmentSIR(nn.Module):
+    """SIR backbone in segment form (``models/backbones/sir.py:16-87`` over
+    ragged clusters): per block, rel-MLP gate of f_cluster, two VFE layers
+    with a broadcast per-cluster max between them; cluster descriptor =
+    concat of both maxima across all blocks."""
+    num_blocks: int = 3
+    feat_channels: Tuple[int, int] = (128, 128)
+    rel_mlp_hidden: Tuple[int, int] = (16, 32)
+    xyz_normalizer: Tuple[float, float, float] = (20.0, 20.0, 4.0)
+    rel_dist_scaler: float = 10.0
+    act: str = "gelu"
+
+    @nn.compact
+    def __call__(self, xyz, feats, f_cluster, seg, valid, num_segments):
+        """xyz [N, 3]; feats [N, F]; f_cluster [N, 3]; seg [N] cluster slot
+        (invalid points map anywhere, masked by ``valid``);
+        returns (point_feats [N, C1], cluster_feats [C, 2*C1*num_blocks])."""
+        from ..ops.masked import segment_max
+        from .layers import VfeLayer
+        norm = jnp.asarray(self.xyz_normalizer, xyz.dtype)
+        xyz_n = xyz / norm
+        f_rel = f_cluster / self.rel_dist_scaler
+        seg_safe = jnp.where(valid, seg, num_segments)
+        C1 = self.feat_channels[0]
+
+        h = feats
+        clusters = []
+        for i in range(self.num_blocks):
+            xin = jnp.concatenate([xyz_n, h], -1)
+            gate = Mlp(tuple(self.rel_mlp_hidden) + (xin.shape[-1],),
+                       act=self.act, name=f"block_{i}_rel_mlp")(f_rel)
+            x = xin * gate
+            x = VfeLayer(C1, act=self.act, name=f"block_{i}_vfe_0")(x)
+            g1 = segment_max(jnp.where(valid[:, None], x, -1e30),
+                             seg_safe, num_segments + 1)[:num_segments]
+            x = jnp.concatenate(
+                [x, jnp.where(valid[:, None],
+                              g1[jnp.clip(seg, 0, num_segments - 1)], 0.0)],
+                -1)
+            x = VfeLayer(self.feat_channels[1], act=self.act,
+                         name=f"block_{i}_vfe_1")(x)
+            g2 = segment_max(jnp.where(valid[:, None], x, -1e30),
+                             seg_safe, num_segments + 1)[:num_segments]
+            clusters.append(jnp.concatenate([g1, g2], -1))
+            h = x
+        return h, jnp.concatenate(clusters, -1)
+
+
+class SparseClusterHead(nn.Module):
+    """``SparseClusterHeadV2`` / ``FSDV2Head`` task heads
+    (``sparse_cluster_head_v2.py:18-158``): shared MLP, then per task a
+    ``FSDSeparateHead`` with center(3)/dim(3)/rot(2)/score branches."""
+    num_tasks: int = 3
+    shared_mlp: Tuple[int, ...] = (1024, 1024)
+    hidden: int = 128
+    layers: int = 2
+    act: str = "relu"
+
+    @nn.compact
+    def __call__(self, feats, train: bool = False):
+        x = Mlp(self.shared_mlp, act=self.act, name="shared")(feats,
+                                                              train=train)
+        cls_list, reg_list = [], []
+        hid = (self.hidden,) * self.layers
+        for t in range(self.num_tasks):
+            score = Mlp(hid + (1,), is_head=True, act=self.act,
+                        name=f"task{t}_score")(x, train=train)
+            center = Mlp(hid + (3,), is_head=True, act=self.act,
+                         name=f"task{t}_center")(x, train=train)
+            dim = Mlp(hid + (3,), is_head=True, act=self.act,
+                      name=f"task{t}_dim")(x, train=train)
+            rot = Mlp(hid + (2,), is_head=True, act=self.act,
+                      name=f"task{t}_rot")(x, train=train)
+            cls_list.append(score)
+            reg_list.append(jnp.concatenate([center, dim, rot], -1))
+        return (jnp.concatenate(cls_list, -1),        # [C, T]
+                jnp.stack(reg_list, -2))              # [C, T, 8]
+
+
 class FSD(nn.Module):
     cfg: FSDConfig
 
     def setup(self):
         c = self.cfg
+        ncls = c.num_classes
         self.vfe = DynamicVFE(feat_channels=c.vfe_channels,
                               voxel_size=c.voxel_size, pc_range=c.pc_range)
         self.unet = SparseUNet(c.unet_channels, c.max_voxels)
-        self.seg_head = Mlp((64, c.num_classes + 3), is_head=True,
-                            act="gelu")
-        self.cluster_mlp1 = Mlp((c.head_channels, c.head_channels),
-                                act="gelu")
-        self.cluster_mlp2 = Mlp((c.head_channels, c.head_channels),
-                                act="gelu")
-        self.cls_head = Mlp((c.head_channels, c.num_classes), is_head=True,
-                            act="gelu")
-        self.reg_head = Mlp((c.head_channels, 8), is_head=True, act="gelu")
+        # VoteSegHead: per-class logits + per-class 3-d vote offsets
+        self.seg_head = Mlp(tuple(c.seg_head_hidden) + (ncls + ncls * 3,),
+                            is_head=True, act="gelu")
+        self.sir = SegmentSIR(
+            num_blocks=c.sir_blocks, feat_channels=c.sir_channels,
+            rel_mlp_hidden=c.rel_mlp_hidden, xyz_normalizer=c.xyz_normalizer)
+        self.head = SparseClusterHead(
+            num_tasks=ncls, shared_mlp=c.shared_mlp, hidden=c.head_hidden,
+            layers=c.head_layers)
+        if not c.use_clustering:
+            self.virtual_proj = Mlp(tuple(c.virtual_proj_hidden),
+                                    act="gelu")
 
     def segment(self, points, mask):
-        """Stage 1: per-point fg logits [N, ncls] + votes [N, 3]."""
+        """Stage 1: per-point fg logits [N, ncls] + votes [N, ncls, 3]."""
         c = self.cfg
+        ncls = c.num_classes
         vres = vx.voxelize(points, mask, c.voxel_size, c.pc_range,
                            c.max_voxels)
         vfeat, pfeat = self.vfe(points, vres, c.max_voxels)
@@ -142,151 +300,228 @@ class FSD(nn.Module):
         per_point = jnp.concatenate(
             [pfeat, vx.gather_from_voxels(vout, vres.point2voxel)], -1)
         out = self.seg_head(per_point)
-        seg_logits = out[:, :c.num_classes]
-        votes = out[:, c.num_classes:]
-        pv = vres.point_valid
-        return seg_logits, votes, pv
+        seg_logits = out[:, :ncls]
+        votes = out[:, ncls:].reshape(-1, ncls, 3)
+        return seg_logits, votes, vres.point_valid, per_point
 
     def group(self, points, seg_logits, votes, point_valid):
-        """Stage 2: select fg budget, cluster vote-shifted centers."""
-        c = self.cfg
-        score = jax.nn.sigmoid(seg_logits).max(-1)
-        score = jnp.where(point_valid, score, -1.0)
-        top_scores, fg_idx = jax.lax.top_k(score, c.max_fg_points)
-        fg_ok = top_scores > c.seg_score_thresh
-        fg_pts = points[fg_idx, :3]
-        centers = fg_pts + votes[fg_idx]
+        """Per-class fg sampling + clustering.
 
-        cres = vx.voxelize(centers, fg_ok, c.cluster_voxel_size, c.pc_range,
-                           c.max_clusters * 8)
-        if c.use_clustering:
-            import numpy as np
-            cgrid = tuple(np.round(
+        Returns (fg_idx [ncls, Nf], fg_label [ncls, Nf] global cluster slot
+        or -1, centers [ncls, Nf, 3] vote-shifted points)."""
+        c = self.cfg
+        ncls = c.num_classes
+        Kc = c.max_clusters_per_class
+        xyz = points[:, :3]
+
+        fg_idx_list, label_list, centers_list = [], [], []
+        for cls_id in range(ncls):
+            score = jax.nn.sigmoid(seg_logits[:, cls_id])
+            score = jnp.where(point_valid, score, -1.0)
+            top_scores, fg_idx = jax.lax.top_k(score, c.max_fg_per_class)
+            fg_ok = top_scores > c.seg_score_thresh[cls_id]
+            centers = xyz[fg_idx] + votes[fg_idx, cls_id]
+
+            vsize = c.cluster_voxel_size[cls_id]
+            cgrid = tuple(np.maximum(np.round(
                 (np.asarray(c.pc_range[3:]) - np.asarray(c.pc_range[:3]))
-                / np.asarray(c.cluster_voxel_size)).astype(int))
-            vox_labels = cl.connected_components(cres.coords,
-                                                 cres.voxel_valid, cgrid)
-        else:   # FSDv2 virtual voxels: each occupied voxel is an instance
-            vox_labels = jnp.where(
-                cres.voxel_valid,
-                jnp.arange(cres.coords.shape[0], dtype=jnp.int32), -1)
-        vox_labels, num_clusters = cl.compact_labels(vox_labels,
-                                                     c.max_clusters)
-        pt_cluster = jnp.where(
-            cres.point2voxel >= 0,
-            vox_labels[jnp.clip(cres.point2voxel, 0,
-                                vox_labels.shape[0] - 1)], -1)
-        return fg_idx, fg_ok & (pt_cluster >= 0), pt_cluster, num_clusters
+                / np.asarray(vsize)), 1).astype(int))
+            cres = vx.voxelize(centers, fg_ok, vsize, c.pc_range,
+                               c.max_cluster_voxels)
+            # drop almost-empty voxels (filter_almost_empty, min_points)
+            seg_tmp = jnp.where(cres.point2voxel >= 0, cres.point2voxel,
+                                c.max_cluster_voxels)
+            counts = jax.ops.segment_sum(
+                jnp.ones_like(centers[:, :1]), seg_tmp,
+                num_segments=c.max_cluster_voxels + 1)[:c.max_cluster_voxels,
+                                                       0]
+            vox_ok = cres.voxel_valid & (counts >= c.min_points)
 
-    def cluster_features(self, points, fg_idx, fg_ok, pt_cluster):
-        """Segment-form SIR over clusters: two MLP+max rounds."""
+            if c.use_clustering:
+                vmean = vx.scatter_to_voxels(centers, cres.point2voxel,
+                                             c.max_cluster_voxels, "mean")
+                win = int(np.ceil(c.connected_dist[cls_id]
+                                  / min(vsize[0], vsize[1]))) + 1
+                vox_labels = cl.connected_components_dist(
+                    cres.coords, vox_ok, cgrid, vmean,
+                    c.connected_dist[cls_id], window_radius=min(win, 4))
+            else:     # FSDv2: every occupied voxel is a virtual instance
+                vox_labels = jnp.where(
+                    vox_ok,
+                    jnp.arange(cres.coords.shape[0], dtype=jnp.int32), -1)
+            vox_labels, _ = cl.compact_labels(vox_labels, Kc)
+            pt_label = jnp.where(
+                cres.point2voxel >= 0,
+                vox_labels[jnp.clip(cres.point2voxel, 0,
+                                    vox_labels.shape[0] - 1)], -1)
+            pt_label = jnp.where(fg_ok & (pt_label >= 0),
+                                 pt_label + cls_id * Kc, -1)
+            fg_idx_list.append(fg_idx)
+            label_list.append(pt_label)
+            centers_list.append(centers)
+        return (jnp.stack(fg_idx_list), jnp.stack(label_list),
+                jnp.stack(centers_list))
+
+    def __call__(self, points, mask, train: bool = False):
         c = self.cfg
+        ncls = c.num_classes
         C = c.max_clusters
-        fg_points = points[fg_idx]
-        seg = jnp.where(fg_ok, pt_cluster, C)
-        cmean = jax.ops.segment_sum(fg_points[:, :3], seg, num_segments=C + 1)
-        cnt = jax.ops.segment_sum(jnp.ones_like(fg_points[:, :1]), seg,
-                                  num_segments=C + 1)
-        cmean = (cmean / jnp.clip(cnt, 1, None))[:C]
-        rel = fg_points[:, :3] - jnp.where(
-            (pt_cluster >= 0)[:, None],
-            cmean[jnp.clip(pt_cluster, 0, C - 1)], 0.0)
-        x = jnp.concatenate([rel, fg_points[:, 3:]], -1)
-        x = self.cluster_mlp1(x)
-        g = jax.ops.segment_max(jnp.where(fg_ok[:, None], x, -1e30), seg,
-                                num_segments=C + 1)[:C]
-        g = jnp.where(jnp.isfinite(g), g, 0.0)
-        xg = jnp.concatenate(
-            [x, jnp.where((pt_cluster >= 0)[:, None],
-                          g[jnp.clip(pt_cluster, 0, C - 1)], 0.0)], -1)
-        x2 = self.cluster_mlp2(xg)
-        g2 = jax.ops.segment_max(jnp.where(fg_ok[:, None], x2, -1e30), seg,
-                                 num_segments=C + 1)[:C]
-        g2 = jnp.where(jnp.isfinite(g2), g2, 0.0)
-        cluster_valid = (cnt[:C, 0] > 0)
-        return jnp.concatenate([g, g2], -1), cmean, cluster_valid
+        seg_logits, votes, pv, pfeat = self.segment(points, mask)
+        fg_idx, fg_label, fg_centers = self.group(
+            points, jax.lax.stop_gradient(seg_logits),
+            jax.lax.stop_gradient(votes), pv)
 
-    def __call__(self, points, mask):
-        seg_logits, votes, pv = self.segment(points, mask)
-        fg_idx, fg_ok, pt_cluster, _ = self.group(points, seg_logits, votes,
-                                                  pv)
-        feats, cmean, cvalid = self.cluster_features(points, fg_idx, fg_ok,
-                                                     pt_cluster)
-        cls = self.cls_head(feats)
-        reg = self.reg_head(feats)
-        # decode: center = cluster mean + delta; sizes log; yaw sin/cos
-        ctr = cmean + reg[:, :3]
-        size = jnp.exp(jnp.clip(reg[:, 3:6], -4, 3))
-        # safe atan2: empty clusters output exactly (0, 0) (zero-init bias),
-        # where arctan2 has NaN gradients; double-where keeps grads finite
-        sn, cs = reg[:, 6], reg[:, 7]
-        ok = sn * sn + cs * cs > 1e-12
-        yaw = jnp.where(ok,
-                        jnp.arctan2(jnp.where(ok, sn, 0.0),
-                                    jnp.where(ok, cs, 1.0)), 0.0)
-        boxes = jnp.concatenate(
-            [ctr[:, :2], (ctr[:, 2] - size[:, 2] / 2)[:, None], size,
-             yaw[:, None]], -1)
+        # flatten per-class foreground sets
+        flat_idx = fg_idx.reshape(-1)                       # [ncls*Nf]
+        flat_label = fg_label.reshape(-1)
+        flat_centers = fg_centers.reshape(-1, 3)
+        valid = flat_label >= 0
+        seg_ids = jnp.where(valid, flat_label, C)
+
+        # cluster base point = mean of predicted centers (extract_feat,
+        # single_stage_fsd.py:471-474)
+        csum = jax.ops.segment_sum(flat_centers, seg_ids, num_segments=C + 1)
+        cnt = jax.ops.segment_sum(jnp.ones_like(flat_centers[:, :1]),
+                                  seg_ids, num_segments=C + 1)
+        cluster_xyz = (csum / jnp.clip(cnt, 1, None))[:C]
+        cluster_valid = cnt[:C, 0] > 0
+        cluster_class = jnp.arange(C, dtype=jnp.int32) \
+            // c.max_clusters_per_class
+
+        # per-point SIR input: [seg_logits, votes, point feats]
+        xyz = points[flat_idx, :3]
+        feats = jnp.concatenate(
+            [seg_logits[flat_idx],
+             votes[flat_idx].reshape(-1, ncls * 3),
+             pfeat[flat_idx]], -1)
+        if not c.use_clustering:   # FSDv2 virtual-point projector
+            feats = jnp.concatenate(
+                [feats, self.virtual_proj(
+                    jnp.concatenate([flat_centers, feats], -1))], -1)
+        f_cluster = xyz - jnp.where(
+            valid[:, None], cluster_xyz[jnp.clip(flat_label, 0, C - 1)], 0.0)
+        _, cluster_feats = self.sir(xyz, feats, f_cluster, seg_ids, valid, C)
+
+        cls_logits, reg_preds = self.head(cluster_feats, train=train)
+
+        # decode every task's boxes against the cluster base point
+        boxes_tasks = coder.point_decode(
+            reg_preds, cluster_xyz[:, None, :])             # [C, T, 7]
+        own = jnp.take_along_axis(
+            boxes_tasks, cluster_class[:, None, None].astype(jnp.int32)
+            .repeat(7, -1), axis=1)[:, 0]                   # [C, 7]
+
         return dict(seg_logits=seg_logits, votes=votes, point_valid=pv,
-                    cls=cls, boxes=boxes, cluster_valid=cvalid,
-                    cluster_centers=cmean)
+                    cls=cls_logits,                   # [C, T] task logits
+                    reg_tasks=reg_preds,              # [C, T, 8]
+                    boxes_tasks=boxes_tasks,          # [C, T, 7]
+                    boxes=own,                        # own-class decode
+                    cluster_valid=cluster_valid,
+                    cluster_centers=cluster_xyz,
+                    cluster_class=cluster_class)
+
+
+def focal_bce(logits, targets, alpha, gamma):
+    p = jax.nn.sigmoid(logits)
+    ce = jnp.maximum(logits, 0) - logits * targets + jnp.log1p(
+        jnp.exp(-jnp.abs(logits)))
+    p_t = p * targets + (1 - p) * (1 - targets)
+    a_t = alpha * targets + (1 - alpha) * (1 - targets)
+    return a_t * ((1 - p_t) ** gamma) * ce
 
 
 def fsd_loss(model_out, points, gt_boxes, gt_labels, gt_valid,
-             vote_weight=1.0, seg_weight=3.0, cls_weight=1.0,
-             reg_weight=2.0):
-    """Training losses (mirrors VoteSegHead + SparseClusterHeadV2 recipes:
-    per-point focal-ish BCE segmentation, L1 votes to GT gravity centers,
-    per-cluster focal cls by center-in-box, L1 box regression)."""
+             cfg: FSDConfig | None = None):
+    """Reference loss recipe.
+
+    * segmentation: per-class sigmoid focal (gamma 3, alpha 0.8) with
+      per-point class targets from box membership (``VoteSegHead.losses``),
+    * votes: L1 to the gravity center of the containing box, on the point's
+      OWN class channel only,
+    * cluster head, per task t (``SparseClusterHeadV2.loss_single_task``):
+      focal cls (gamma 2, alpha 0.25, w 2) with positives = clusters whose
+      base point lies in a class-t GT box; L1 on the 8-d point-coder target
+      with center/size/rot weights 0.5/0.5/0.2, averaged over positives.
+    """
     from ..core import boxes as box_ops
-    from .anchor_head import focal_loss
+    cfg = cfg or FSDConfig()
+    f32 = jnp.float32
 
     pv = model_out["point_valid"]
     xyz = points[:, :3]
-    inb = box_ops.points_in_boxes(xyz[None], gt_boxes[None])  # [1?]
-    # points_in_boxes broadcasting: arrange [G, N] manually
     inbox = jax.vmap(
         lambda b: box_ops.points_in_boxes(xyz[None], b[None, None])[0, 0]
     )(gt_boxes)  # [G, N]
     inbox = inbox & gt_valid[:, None]
     fg = jnp.any(inbox, axis=0)
     gt_of_point = jnp.argmax(inbox, axis=0)
+    point_cls = gt_labels[gt_of_point]                      # [N]
 
-    seg = model_out["seg_logits"][:, 0]
-    seg_bce = focal_loss(seg, fg.astype(seg.dtype))
-    loss_seg = seg_weight * jnp.sum(seg_bce * pv) / jnp.clip(
-        jnp.sum(pv), 1, None)
+    seg_logits = model_out["seg_logits"]                    # [N, ncls]
+    ncls = seg_logits.shape[-1]
+    seg_tgt = (jax.nn.one_hot(point_cls, ncls)
+               * fg[:, None].astype(f32))
+    seg_ce = focal_bce(seg_logits, seg_tgt, cfg.seg_focal_alpha,
+                       cfg.seg_focal_gamma)
+    pvf = pv.astype(f32)
+    loss_seg = cfg.seg_weight * jnp.sum(seg_ce * pvf[:, None]) / jnp.clip(
+        jnp.sum(pvf), 1, None)
 
+    # votes: own-class channel only
     gctr = box_ops.gravity_center(gt_boxes)[gt_of_point]
     vote_tgt = gctr - xyz
-    vw = (fg & pv).astype(seg.dtype)
-    loss_vote = vote_weight * jnp.sum(
-        jnp.abs(model_out["votes"] - vote_tgt) * vw[:, None]
-    ) / jnp.clip(jnp.sum(vw), 1, None)
+    own_vote = jnp.take_along_axis(
+        model_out["votes"], point_cls[:, None, None].repeat(3, -1),
+        axis=1)[:, 0]
+    vw = (fg & pv).astype(f32)
+    loss_vote = cfg.vote_weight * jnp.sum(
+        jnp.abs(own_vote - vote_tgt) * vw[:, None]) / jnp.clip(
+        jnp.sum(vw), 1, None)
 
-    # cluster targets: match each cluster center to the gt box containing it
+    # cluster head: per-task assignment + losses
     cc = model_out["cluster_centers"]
+    cvalid = model_out["cluster_valid"]
     cin = jax.vmap(
         lambda b: box_ops.points_in_boxes(cc[None], b[None, None])[0, 0]
-    )(gt_boxes)
+    )(gt_boxes)                                            # [G, C]
     cin = cin & gt_valid[:, None]
-    c_pos = jnp.any(cin, axis=0) & model_out["cluster_valid"]
-    c_gt = gt_boxes[jnp.argmax(cin, axis=0)]
 
-    cls_tgt = c_pos.astype(seg.dtype)[:, None]
-    cw = model_out["cluster_valid"].astype(seg.dtype)[:, None]
-    loss_cls = cls_weight * jnp.sum(
-        focal_loss(model_out["cls"], cls_tgt) * cw) / jnp.clip(
-        jnp.sum(c_pos), 1, None)
+    code_w = jnp.asarray([cfg.center_weight] * 3 + [cfg.size_weight] * 3
+                         + [cfg.rot_weight] * 2, f32)
+    loss_cls = 0.0
+    loss_center = 0.0
+    loss_size = 0.0
+    loss_rot = 0.0
+    num_pos_total = 0.0
+    for t in range(ncls):
+        t_mask = (gt_labels == t) & gt_valid
+        cin_t = cin & t_mask[:, None]
+        pos = jnp.any(cin_t, axis=0) & cvalid               # [C]
+        gt_idx = jnp.argmax(cin_t, axis=0)
+        gt_t = gt_boxes[gt_idx]
 
-    pb = model_out["boxes"]
-    yaw_err = jnp.abs(jnp.sin(pb[:, 6] - c_gt[:, 6]))
-    l1 = (jnp.abs(pb[:, :6] - c_gt[:, :6]).sum(-1) + yaw_err)
-    loss_reg = reg_weight * jnp.sum(l1 * c_pos) / jnp.clip(
-        jnp.sum(c_pos), 1, None)
+        cls_tgt = pos.astype(f32)
+        cw = cvalid.astype(f32)
+        cls_avg = jnp.clip(jnp.sum(cw), 1, None)
+        loss_cls += cfg.cls_weight * jnp.sum(
+            focal_bce(model_out["cls"][:, t], cls_tgt,
+                      cfg.cls_focal_alpha, cfg.cls_focal_gamma) * cw
+        ) / cls_avg
 
-    total = loss_seg + loss_vote + loss_cls + loss_reg
+        reg_tgt = coder.point_encode(gt_t, cc)              # [C, 8]
+        err = jnp.abs(model_out["reg_tasks"][:, t] - reg_tgt) * code_w
+        posf = pos.astype(f32)
+        num_pos = jnp.sum(posf)
+        reg_avg = jnp.clip(num_pos, 1, None)
+        loss_center += jnp.sum(err[:, :3] * posf[:, None]) / reg_avg
+        loss_size += jnp.sum(err[:, 3:6] * posf[:, None]) / reg_avg
+        loss_rot += jnp.sum(err[:, 6:8] * posf[:, None]) / reg_avg
+        num_pos_total += num_pos
+
+    total = (loss_seg + loss_vote + loss_cls + loss_center + loss_size
+             + loss_rot)
     return dict(loss_seg=loss_seg, loss_vote=loss_vote, loss_cls=loss_cls,
-                loss_reg=loss_reg, loss=total,
-                num_fg_points=jnp.sum(fg & pv), num_pos_clusters=jnp.sum(
-                    c_pos))
+                loss_center=loss_center, loss_size=loss_size,
+                loss_rot=loss_rot, loss=total,
+                num_fg_points=jnp.sum(fg & pv),
+                num_pos_clusters=num_pos_total)

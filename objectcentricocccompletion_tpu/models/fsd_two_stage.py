@@ -89,43 +89,83 @@ class TwoStageFSD(nn.Module):
 
 
 def two_stage_loss(out: dict, points, gt_boxes, gt_labels, gt_valid,
-                   pos_iou: float = 0.55, neg_iou: float = 0.45,
+                   pos_iou=(0.45, 0.35, 0.35),
+                   cls_pos_thr=(0.8, 0.65, 0.65),
+                   cls_neg_thr=(0.2, 0.15, 0.15),
+                   neg_piece_fractions=(0.8, 0.2),
+                   neg_iou_piece_thrs=(0.55, 0.1),
                    code_weights=(2., 2., 1., 1., 1., 1., 1.),
                    cls_weight: float = 1.0, reg_weight: float = 2.0):
     """Stage-1 (fsd_loss) + stage-2 group-correction losses.
 
-    Stage-2 mirrors ``FullySparseBboxHead.loss`` (``fsd_bbox_head.py``):
-    RoIs match GT by aligned 3D IoU; classification uses the IoU-soft label
-    of ``get_single_class_soft_label`` (``fsd_bbox_head.py:611-625``); box
-    regression is code-weighted L1 on canonical-frame deltas for positives.
+    Stage-2 mirrors ``FSDRoIHead`` training with per-class ``MaxIoUAssigner``
+    thresholds and ``IoUNegPiecewiseSampler`` semantics
+    (``configs/fsd/fsd_waymoD1_1x.py:214-249``):
+
+    * RoIs match GT of their OWN class by aligned 3D IoU; positive when IoU
+      exceeds the class's ``pos_iou`` (0.45 Car / 0.35 Ped / 0.35 Cyc).
+    * Classification uses the IoU-soft label of
+      ``get_single_class_soft_label`` (``fsd_bbox_head.py:611-689``) with
+      per-class (pos_thr, neg_thr).
+    * The reference's IoU-piecewise NEGATIVE sampling (80% of negatives from
+      the hard IoU piece [0.1, 0.55), 20% from [0, 0.1)) becomes dense
+      per-RoI weights reproducing the same expected mass per piece — no
+      subsampling is needed with masked static shapes.
+    * Box regression is code-weighted L1 on canonical-frame deltas for
+      positives (per-class via the class-agnostic RoI-frame transform).
     """
     from ..core import boxes as box_ops
     from .fsd import fsd_loss
 
     losses = fsd_loss(out, points, gt_boxes, gt_labels, gt_valid)
+    f32 = jnp.float32
 
     rois = out["rois"]
+    roi_cls = out.get("cluster_class",
+                      jnp.zeros((rois.shape[0],), jnp.int32))
     R = rois.shape[0]
+    ncls = int(out["cls"].shape[-1]) if out.get("cls") is not None else 1
+
+    def per_cls(arr):
+        a = list(arr) + [arr[-1]] * max(0, ncls - len(arr))
+        return jnp.asarray(a[:ncls], f32)[roi_cls]
+
     iou = jax.vmap(lambda g: box_ops.aligned_iou_3d(rois, g[None].repeat(
         R, 0)))(gt_boxes)            # [G, R]
-    iou = jnp.where(gt_valid[:, None], iou, -1.0)
+    same_cls = (gt_labels[:, None] == roi_cls[None, :]) & gt_valid[:, None]
+    iou = jnp.where(same_cls, iou, -1.0)
     best_iou = jnp.max(iou, axis=0)
     best_gt = jnp.argmax(iou, axis=0)
     valid_roi = out["roi_nonempty"]
 
-    soft = jnp.clip((best_iou - neg_iou) / (pos_iou - neg_iou), 0.0, 1.0)
+    p_thr = per_cls(cls_pos_thr)
+    n_thr = per_cls(cls_neg_thr)
+    soft = jnp.clip((best_iou - n_thr) / (p_thr - n_thr), 0.0, 1.0)
     bce = (jnp.maximum(out["cls2"], 0) - out["cls2"] * soft
            + jnp.log1p(jnp.exp(-jnp.abs(out["cls2"]))))
-    wf = valid_roi.astype(jnp.float32)
-    loss_cls2 = cls_weight * jnp.sum(bce * wf) / jnp.clip(jnp.sum(wf), 1,
-                                                          None)
 
-    pos = (best_iou > pos_iou) & valid_roi
+    pos_thr_assign = per_cls(pos_iou)
+    pos = (best_iou > pos_thr_assign) & valid_roi
+    neg = (~pos) & valid_roi
+    hard_neg = neg & (best_iou >= neg_iou_piece_thrs[1]) \
+        & (best_iou < neg_iou_piece_thrs[0])
+    easy_neg = neg & ~hard_neg
+    n_hard = jnp.clip(jnp.sum(hard_neg.astype(f32)), 1, None)
+    n_easy = jnp.clip(jnp.sum(easy_neg.astype(f32)), 1, None)
+    n_neg = jnp.sum(neg.astype(f32))
+    # piecewise weights: each piece carries its configured fraction of the
+    # total negative mass (IoUNegPiecewiseSampler analog)
+    w = (pos.astype(f32)
+         + hard_neg.astype(f32) * neg_piece_fractions[0] * n_neg / n_hard
+         + easy_neg.astype(f32) * neg_piece_fractions[1] * n_neg / n_easy)
+    loss_cls2 = cls_weight * jnp.sum(bce * w) / jnp.clip(jnp.sum(w), 1,
+                                                         None)
+
     targets = coder.encode_roi_targets(rois, gt_boxes[best_gt])
     l1 = jnp.abs(out["bbox2"] - targets) * jnp.asarray(code_weights)
     num_pos = jnp.clip(jnp.sum(pos), 1.0, None)
     loss_reg2 = reg_weight * jnp.sum(
-        l1 * pos[:, None].astype(jnp.float32)) / num_pos
+        l1 * pos[:, None].astype(f32)) / num_pos
 
     total = losses["loss"] + loss_cls2 + loss_reg2
     return dict(losses, loss_cls2=loss_cls2, loss_reg2=loss_reg2,

@@ -9,6 +9,11 @@ processed in order; each step keeps a rolling memory of past points and
 selects only the *novel* points of the current frame (voxel-diff), then runs
 the FSD pipeline on memory + novel points.
 
+Like the reference's ``TwoStageFSDPP``, the wrapped detector is the
+TWO-STAGE FSD (group-correction RoI refinement) by default
+(``two_stage_fsdpp.py:37`` subclasses ``TwoStageFSD``); ``two_stage=False``
+falls back to single-stage FSD for ablation.
+
 The recurrent memory is a fixed-size point buffer (ring semantics via
 priority: newest points first), so the whole sequence step is one jitted
 function — the reference's stateful python sequence loop becomes a scan-able
@@ -32,11 +37,15 @@ class FSDPPConfig:
     fsd: FSDConfig = dataclasses.field(default_factory=FSDConfig)
     memory_size: int = 320000
     inc_voxel_size: tuple = (0.4, 0.4, 0.4)
+    # group-correction second stage (TwoStageFSDPP); False = single-stage
+    two_stage: bool = True
+    roi_points: int = 256
 
 
-def tiny_fsdpp_config() -> FSDPPConfig:
+def tiny_fsdpp_config(two_stage: bool = True) -> FSDPPConfig:
     return FSDPPConfig(fsd=tiny_fsd_config(), memory_size=8192,
-                       inc_voxel_size=(0.8, 0.8, 0.8))
+                       inc_voxel_size=(0.8, 0.8, 0.8), two_stage=two_stage,
+                       roi_points=64)
 
 
 class SequenceState(NamedTuple):
@@ -48,7 +57,12 @@ class FSDPP(nn.Module):
     cfg: FSDPPConfig
 
     def setup(self):
-        self.fsd = FSD(self.cfg.fsd)
+        if self.cfg.two_stage:
+            from .fsd_two_stage import TwoStageFSD, TwoStageFSDConfig
+            self.fsd = TwoStageFSD(TwoStageFSDConfig(
+                fsd=self.cfg.fsd, roi_points=self.cfg.roi_points))
+        else:
+            self.fsd = FSD(self.cfg.fsd)
 
     def init_state(self, feat_dim: int) -> SequenceState:
         m = self.cfg.memory_size

@@ -46,6 +46,47 @@ def connected_components(coords: jax.Array, valid: jax.Array,
     return jnp.where(valid, labels, -1)
 
 
+def connected_components_dist(coords: jax.Array, valid: jax.Array,
+                              grid_shape, centers: jax.Array,
+                              connect_dist: float,
+                              window_radius: int = 2,
+                              num_iters: int = 16) -> jax.Array:
+    """Distance-constrained CC — the reference ``find_connected_componets``
+    semantics (``single_stage_fsd.py:26-60``): voxels are linked only when
+    their mean centers lie within ``connect_dist`` in the xy-plane.
+
+    coords [V, 3] voxel integer coords; centers [V, 3] per-voxel mean of
+    member points; candidates come from a ``(2r+1)^2`` xy voxel window (pick
+    ``window_radius >= ceil(connect_dist / voxel_xy)``), the distance test
+    prunes them. Returns [V] labels (-1 invalid)."""
+    v = coords.shape[0]
+    grid = sc.build_grid(coords, valid, grid_shape)
+    r = window_radius
+    offs = np.stack(np.meshgrid(np.arange(-r, r + 1), np.arange(-r, r + 1),
+                                np.arange(1), indexing="ij"),
+                    -1).reshape(-1, 3)
+    offs = offs[np.any(offs != 0, axis=1)]
+    table = sc.neighbor_table(grid, coords, valid, offs)  # [K, V]
+
+    safe = jnp.clip(table, 0, v - 1)
+    d2 = jnp.sum(
+        (centers[safe][..., :2] - centers[None, :, :2]) ** 2, axis=-1)
+    linked = (table >= 0) & (d2 < connect_dist ** 2)      # [K, V]
+
+    labels0 = jnp.where(valid, jnp.arange(v, dtype=jnp.int32), jnp.int32(v))
+
+    def body(_, labels):
+        neigh = jnp.where(linked, labels[safe], jnp.int32(v))
+        m = jnp.min(neigh, axis=0)
+        labels = jnp.minimum(labels, m)
+        labels = jnp.where(labels < v, labels[jnp.clip(labels, 0, v - 1)],
+                           labels)
+        return labels
+
+    labels = jax.lax.fori_loop(0, num_iters, body, labels0)
+    return jnp.where(valid, labels, -1)
+
+
 def compact_labels(labels: jax.Array, max_clusters: int
                    ) -> tuple[jax.Array, jax.Array]:
     """Relabel arbitrary component ids to compact [0, C); -1 stays -1.

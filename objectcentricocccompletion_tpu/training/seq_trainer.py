@@ -69,6 +69,11 @@ def make_seq_train_step(model: FSDPP, tx, window: int):
     across the window's frames and returned for the next window of the same
     sequence (or reset by the caller at sequence boundaries)."""
 
+    loss_call = fsd_loss
+    if getattr(model.cfg, "two_stage", False):
+        from ..models.fsd_two_stage import two_stage_loss
+        loss_call = two_stage_loss
+
     def step_fn(params, opt_state, batch: SeqWindow, mem: SequenceState):
         def loss_fn(p):
             losses = []
@@ -79,10 +84,10 @@ def make_seq_train_step(model: FSDPP, tx, window: int):
                 merged_pts = jnp.concatenate([batch.points[w], m.memory], 0)
                 m, out = model.apply({"params": p}, m, batch.points[w],
                                      batch.points_mask[w])
-                losses.append(fsd_loss(out, merged_pts,
-                                       batch.gt_boxes[w],
-                                       batch.gt_labels[w],
-                                       batch.gt_valid[w]))
+                losses.append(loss_call(out, merged_pts,
+                                        batch.gt_boxes[w],
+                                        batch.gt_labels[w],
+                                        batch.gt_valid[w]))
             total = sum(l["loss"] for l in losses) / window
             aux = {k: sum(l[k] for l in losses) / window
                    for k in losses[0]}

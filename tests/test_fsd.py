@@ -1,4 +1,4 @@
-"""FSD: clustering correctness, forward, loss, gradients."""
+"""FSD: clustering correctness, per-class grouping, forward, loss, grads."""
 import numpy as np
 import jax
 import jax.numpy as jnp
@@ -30,6 +30,23 @@ def test_connected_components():
     assert (labels[8:] == -1).all()
 
 
+def test_connected_components_dist():
+    """Distance-constrained CC: adjacent voxels link only when their mean
+    centers are within connect_dist (ClusterAssigner semantics)."""
+    coords = np.array([[0, 0, 0], [1, 0, 0], [3, 0, 0], [4, 0, 0]], np.int32)
+    centers = np.array([[0.05, 0.0, 0.0], [0.3, 0.0, 0.0],   # 0.25 apart
+                        [0.9, 0.0, 0.0], [1.35, 0.0, 0.0]],  # 0.45 apart
+                       np.float32)
+    valid = np.ones(4, bool)
+    labels = cl.connected_components_dist(
+        jnp.asarray(coords), jnp.asarray(valid), (8, 2, 1),
+        jnp.asarray(centers), connect_dist=0.3, window_radius=2)
+    labels = np.asarray(labels)
+    assert labels[0] == labels[1]          # 0.25 < 0.3 -> linked
+    assert labels[2] != labels[3]          # 0.45 > 0.3 -> separate
+    assert labels[1] != labels[2]          # 0.6 apart -> separate
+
+
 def test_compact_labels_budget():
     labels = jnp.asarray([100, 100, 7, 7, 3, -1], jnp.int32)
     out, num = cl.compact_labels(labels, 8)
@@ -39,12 +56,16 @@ def test_compact_labels_budget():
     assert out[5] == -1
 
 
-def make_fsd_frame(cfg, seed=0, num_boxes=2, max_gt=8):
+CLS_SIZES = {0: [2.0, 4.5, 1.7], 1: [0.8, 0.8, 1.7], 2: [0.8, 1.8, 1.7]}
+
+
+def make_fsd_frame(cfg, seed=0, num_boxes=2, max_gt=8, classes=None):
     rng = np.random.RandomState(seed)
     lo, hi = np.asarray(cfg.pc_range[:3]), np.asarray(cfg.pc_range[3:])
+    classes = classes or [i % cfg.num_classes for i in range(num_boxes)]
     ctr = rng.uniform(lo + 3, hi - 3, (num_boxes, 3))
     ctr[:, 2] = -0.5
-    size = np.abs(rng.normal([2.0, 4.5, 1.7], 0.1, (num_boxes, 3)))
+    size = np.stack([np.abs(rng.normal(CLS_SIZES[c], 0.05)) for c in classes])
     yaw = rng.uniform(-np.pi, np.pi, (num_boxes, 1))
     boxes = np.concatenate([ctr, size, yaw], -1).astype(np.float32)
     pts = [rng.uniform(lo, hi, (800, 3))]
@@ -62,37 +83,102 @@ def make_fsd_frame(cfg, seed=0, num_boxes=2, max_gt=8):
     points = np.pad(points, ((0, pad), (0, 0)))
     mask = np.arange(cfg.max_points) < len(pts)
     gt_boxes = np.pad(boxes, ((0, max_gt - num_boxes), (0, 0)))
+    gt_labels = np.pad(np.asarray(classes, np.int32),
+                       (0, max_gt - num_boxes))
     gt_valid = np.arange(max_gt) < num_boxes
     return (jnp.asarray(points), jnp.asarray(mask), jnp.asarray(gt_boxes),
-            jnp.zeros((max_gt,), jnp.int32), jnp.asarray(gt_valid))
+            jnp.asarray(gt_labels), jnp.asarray(gt_valid))
 
 
-def test_fsd_forward_and_loss():
+def test_fsd_forward_and_loss_multiclass():
     cfg = tiny_fsd_config()
-    points, mask, boxes, labels, valid = make_fsd_frame(cfg)
+    ncls = cfg.num_classes
+    assert ncls == 3
+    points, mask, boxes, labels, valid = make_fsd_frame(
+        cfg, num_boxes=3, classes=[0, 1, 2])
     model = FSD(cfg)
     variables = model.init(jax.random.PRNGKey(0), points, mask)
     out = model.apply(variables, points, mask)
-    assert out["cls"].shape == (cfg.max_clusters, cfg.num_classes)
-    assert out["boxes"].shape == (cfg.max_clusters, 7)
-    losses = fsd_loss(out, points, boxes, labels, valid)
-    assert np.isfinite(float(losses["loss"]))
+    C = cfg.max_clusters
+    assert out["cls"].shape == (C, ncls)
+    assert out["reg_tasks"].shape == (C, ncls, 8)
+    assert out["boxes_tasks"].shape == (C, ncls, 7)
+    assert out["boxes"].shape == (C, 7)
+    assert out["seg_logits"].shape == (cfg.max_points, ncls)
+    assert out["votes"].shape == (cfg.max_points, ncls, 3)
+    # class slots: cluster_class is the per-class budget layout
+    cc = np.asarray(out["cluster_class"])
+    assert (cc == np.arange(C) // cfg.max_clusters_per_class).all()
+
+    losses = fsd_loss(out, points, boxes, labels, valid, cfg)
+    for k in ("loss_seg", "loss_vote", "loss_cls", "loss_center",
+              "loss_size", "loss_rot"):
+        assert np.isfinite(float(losses[k])), k
     assert float(losses["num_fg_points"]) > 100
 
     def loss_fn(params):
         o = model.apply({"params": params}, points, mask)
-        return fsd_loss(o, points, boxes, labels, valid)["loss"]
+        return fsd_loss(o, points, boxes, labels, valid, cfg)["loss"]
 
     g = jax.grad(loss_fn)(variables["params"])
     assert all(bool(jnp.isfinite(x).all())
                for x in jax.tree_util.tree_leaves(g))
+    # every task head receives gradient (multiclass path is live)
+    flat = jax.tree_util.tree_flatten_with_path(g)[0]
+    for t in range(ncls):
+        s = sum(float(jnp.abs(v).sum()) for k, v in flat
+                if f"task{t}_" in str(k))
+        assert s > 0, f"task {t} got no gradient"
+
+
+def test_per_class_clustering_separation():
+    """Two vote centers 0.3 m apart: one cluster for Car (connect 0.6 m),
+    two clusters for Pedestrian (connect 0.2 m + finer voxels)."""
+    cfg = tiny_fsd_config()
+    model = FSD(cfg)
+    N = cfg.max_points
+    points = np.zeros((N, 5), np.float32)
+    # two pairs of points 0.3 m apart (2 per site so min_points=2 keeps
+    # the per-class cluster voxels)
+    points[0, :3] = [0.0, 0.0, 0.5]
+    points[1, :3] = [0.3, 0.0, 0.5]
+    points[2, :3] = [0.01, 0.0, 0.5]
+    points[3, :3] = [0.31, 0.0, 0.5]
+    mask = np.zeros((N,), bool)
+    mask[:4] = True
+    pv = jnp.asarray(mask)
+    # high fg score for both points on every class; zero votes
+    seg_logits = jnp.full((N, cfg.num_classes), 4.0)
+    votes = jnp.zeros((N, cfg.num_classes, 3))
+    variables = model.init(jax.random.PRNGKey(0), jnp.asarray(points),
+                           jnp.asarray(mask))
+    fg_idx, fg_label, _ = model.apply(
+        variables, jnp.asarray(points), seg_logits, votes, pv,
+        method=FSD.group)
+    fg_idx, fg_label = np.asarray(fg_idx), np.asarray(fg_label)
+    Kc = cfg.max_clusters_per_class
+
+    def labels_of(cls_id):
+        sel = {}
+        for i, lab in zip(fg_idx[cls_id], fg_label[cls_id]):
+            if i in (0, 1) and lab >= 0:
+                sel[int(i)] = int(lab)
+        return sel
+
+    car = labels_of(0)
+    ped = labels_of(1)
+    assert car[0] == car[1], "Car: 0.3 m apart must merge (dist 0.6)"
+    assert ped[0] != ped[1], "Ped: 0.3 m apart must split (dist 0.2)"
+    assert all(0 * Kc <= v < 1 * Kc for v in car.values())
+    assert all(1 * Kc <= v < 2 * Kc for v in ped.values())
 
 
 def test_two_stage_fsd_forward():
     from objectcentricocccompletion_tpu.models.fsd_two_stage import (
         TwoStageFSD, tiny_two_stage_config)
     cfg = tiny_two_stage_config()
-    points, mask, boxes, labels, valid = make_fsd_frame(cfg.fsd, seed=1)
+    points, mask, boxes, labels, valid = make_fsd_frame(cfg.fsd, seed=1,
+                                                        num_boxes=3)
     model = TwoStageFSD(cfg)
     variables = model.init(jax.random.PRNGKey(0), points, mask)
     out = model.apply(variables, points, mask)
@@ -107,11 +193,12 @@ def test_two_stage_fsd_forward():
 def test_fsdv2_virtual_voxels():
     import dataclasses
     cfg = dataclasses.replace(tiny_fsd_config(), use_clustering=False)
-    points, mask, boxes, labels, valid = make_fsd_frame(cfg, seed=2)
+    points, mask, boxes, labels, valid = make_fsd_frame(cfg, seed=2,
+                                                        num_boxes=3)
     model = FSD(cfg)
     variables = model.init(jax.random.PRNGKey(0), points, mask)
     out = model.apply(variables, points, mask)
-    losses = fsd_loss(out, points, boxes, labels, valid)
+    losses = fsd_loss(out, points, boxes, labels, valid, cfg)
     assert np.isfinite(float(losses["loss"]))
     # virtual voxels produce at least as many instances as CC clustering
     cfg_cc = tiny_fsd_config()
@@ -125,7 +212,8 @@ def test_two_stage_loss_and_grads():
     from objectcentricocccompletion_tpu.models.fsd_two_stage import (
         TwoStageFSD, tiny_two_stage_config, two_stage_loss)
     cfg = tiny_two_stage_config()
-    points, mask, boxes, labels, valid = make_fsd_frame(cfg.fsd, seed=3)
+    points, mask, boxes, labels, valid = make_fsd_frame(cfg.fsd, seed=3,
+                                                        num_boxes=3)
     model = TwoStageFSD(cfg)
     variables = model.init(jax.random.PRNGKey(0), points, mask)
     out = model.apply(variables, points, mask)
@@ -145,3 +233,17 @@ def test_two_stage_loss_and_grads():
     s2 = [np.abs(np.asarray(v)).sum() for k, v in flat
           if "conv_cls" in str(k) or "conv_reg" in str(k)]
     assert sum(s2) > 0
+
+
+def test_point_coder_roundtrip():
+    from objectcentricocccompletion_tpu.core import coder
+    rng = np.random.RandomState(0)
+    boxes = np.abs(rng.randn(16, 7)).astype(np.float32) + 0.5
+    boxes[:, 6] = rng.uniform(-np.pi, np.pi, 16)
+    base = rng.randn(16, 3).astype(np.float32)
+    reg = coder.point_encode(jnp.asarray(boxes), jnp.asarray(base))
+    dec = np.asarray(coder.point_decode(reg, jnp.asarray(base)))
+    np.testing.assert_allclose(dec[:, :6], boxes[:, :6], atol=1e-4)
+    # yaw up to 2pi wrap
+    dy = np.abs(np.angle(np.exp(1j * (dec[:, 6] - boxes[:, 6]))))
+    assert dy.max() < 1e-4
