@@ -18,13 +18,22 @@
 //     the rest; GT with 0 points is ignored. The LEVEL_2 metric evaluates
 //     L1+L2 ground truth; the LEVEL_1 metric treats L2-only GT as "ignore"
 //     (matching predictions are discarded, not counted as FP),
-//   * greedy score-ordered one-to-one matching per frame,
-//   * AP from the monotone precision envelope over the recall axis; APH
-//     weights each true positive by heading accuracy
-//     1 - |wrap(dh)| / pi,
+//   * HUNGARIAN one-to-one matching per frame (official MatcherProto
+//     TYPE_HUNGARIAN: maximize total IoU over pairs with IoU >= threshold),
+//     re-run at each score cutoff like the official tool,
+//   * P/R curve from ~100 score cutoffs sampled as quantiles of the
+//     class's prediction-score distribution (DecideScoreCutoffs analog),
+//   * AP integrates precision over recall with the documented recall-gap
+//     penalty: any gap between consecutive recall points beyond
+//     delta = 0.05 contributes zero precision; APH weights each true
+//     positive by heading accuracy 1 - |wrap(dh)| / pi,
 //   * breakdowns: OBJECT_TYPE and RANGE ([0,30), [30,50), [50,inf) by
 //     BEV center distance), printed in the official output format parsed by
 //     the reference's evaluate() (waymo_tracklet_dataset.py:394-401).
+//
+// Known residual divergences from the official binary (documented, not
+// bit-identical): exact score-cutoff placement, and tie-breaking inside
+// the assignment when multiple matchings share the same total IoU.
 #include <algorithm>
 #include <cmath>
 #include <cstdint>
@@ -33,6 +42,8 @@
 #include <fstream>
 #include <map>
 #include <string>
+#include <thread>
+#include <atomic>
 #include <vector>
 
 namespace {
@@ -275,20 +286,97 @@ struct APResult {
   double ap = 0, aph = 0;
 };
 
+// Max-weight one-to-one assignment (Hungarian / Jonker-Volgenant style,
+// O(n^3)) between rows (predictions) and cols (ground truths).
+// benefit[i][j] < 0 marks a forbidden pair. Returns col index per row
+// (-1 = unmatched); only pairs with benefit >= 0 are reported.
+std::vector<int> MaxWeightAssign(const std::vector<std::vector<double>>& b) {
+  int nr = int(b.size());
+  int nc = nr ? int(b[0].size()) : 0;
+  int n = std::max(nr, nc);
+  if (n == 0) return {};
+  const double kBig = 1e9;
+  // cost matrix (minimize), padded square; forbidden/dummy pairs cost 0
+  // relative to "unmatched" via kBig ceiling on real benefits.
+  std::vector<std::vector<double>> a(n + 1,
+                                     std::vector<double>(n + 1, kBig));
+  for (int i = 0; i < n; ++i)
+    for (int j = 0; j < n; ++j) {
+      double w = (i < nr && j < nc) ? b[i][j] : -1.0;
+      a[i + 1][j + 1] = (w >= 0) ? (1.0 - w) : kBig;
+    }
+  // standard potentials-based Hungarian on rows
+  std::vector<double> u(n + 1, 0), v(n + 1, 0);
+  std::vector<int> p(n + 1, 0), way(n + 1, 0);
+  for (int i = 1; i <= n; ++i) {
+    p[0] = i;
+    int j0 = 0;
+    std::vector<double> minv(n + 1, 1e30);
+    std::vector<char> used(n + 1, false);
+    do {
+      used[j0] = true;
+      int i0 = p[j0], j1 = -1;
+      double delta = 1e30;
+      for (int j = 1; j <= n; ++j) {
+        if (used[j]) continue;
+        double cur = a[i0][j] - u[i0] - v[j];
+        if (cur < minv[j]) {
+          minv[j] = cur;
+          way[j] = j0;
+        }
+        if (minv[j] < delta) {
+          delta = minv[j];
+          j1 = j;
+        }
+      }
+      for (int j = 0; j <= n; ++j) {
+        if (used[j]) {
+          u[p[j]] += delta;
+          v[j] -= delta;
+        } else {
+          minv[j] -= delta;
+        }
+      }
+      j0 = j1;
+    } while (p[j0] != 0);
+    do {
+      int j1 = way[j0];
+      p[j0] = p[j1];
+      j0 = j1;
+    } while (j0);
+  }
+  std::vector<int> match(nr, -1);
+  for (int j = 1; j <= n; ++j) {
+    int i = p[j];
+    if (i >= 1 && i <= nr && j <= nc && b[i - 1][j - 1] >= 0)
+      match[i - 1] = j - 1;
+  }
+  return match;
+}
+
+// Official-style AP integration: points ordered by increasing recall;
+// a recall gap beyond kRecallDelta contributes zero precision.
+constexpr double kRecallDelta = 0.05;
+
+double IntegrateAP(const std::vector<double>& recall,
+                   const std::vector<double>& precision) {
+  double ap = 0, last_r = 0;
+  for (size_t i = 0; i < recall.size(); ++i) {
+    double dr = recall[i] - last_r;
+    if (dr <= 0) continue;
+    ap += precision[i] * std::min(dr, kRecallDelta);
+    last_r = recall[i];
+  }
+  return ap;
+}
+
 // level: 1 -> L2-only gt ignored; 2 -> all gt counted.
-// range_lo/hi: breakdown filter on GT center distance; predictions filter
-// on their own center distance (standard waymo breakdown behavior).
+// range_lo/hi: breakdown shard on BEV center distance — GTs and
+// predictions are sharded by their OWN box (official breakdown sharding).
 APResult ComputeAP(const std::vector<Object>& preds,
                    const std::vector<Object>& gts, int cls, int level,
-                   double iou_thresh, double range_lo, double range_hi) {
-  // bucket by frame
-  std::map<std::pair<std::string, int64_t>, std::vector<int>> gt_by_frame;
-  for (size_t i = 0; i < gts.size(); ++i) {
-    const Object& g = gts[i];
-    if (g.type != cls) continue;
-    if (g.num_points == 0) continue;  // never evaluated
-    gt_by_frame[{g.context, g.ts}].push_back(int(i));
-  }
+                   double iou_thresh, double range_lo, double range_hi,
+                   int num_cutoffs = 100) {
   auto gt_level = [](const Object& g) {
     if (g.difficulty == 2) return 2;
     if (g.num_points >= 0 && g.num_points < 5) return 2;
@@ -299,100 +387,111 @@ APResult ComputeAP(const std::vector<Object>& preds,
     return d >= range_lo && d < range_hi;
   };
 
+  // per-frame shards; GT out of the range shard is absent entirely,
+  // difficulty above the level stays in the matching but is "ignored"
+  struct Frame {
+    std::vector<int> preds;              // sorted by descending score
+    std::vector<int> gts;
+    std::vector<char> gt_ignored;
+    std::vector<std::vector<double>> iou;  // [pred][gt]
+  };
+  std::map<std::pair<std::string, int64_t>, Frame> frames;
   int num_gt = 0;
-  for (auto& kv : gt_by_frame)
-    for (int gi : kv.second) {
-      const Object& g = gts[gi];
-      if (!in_range(g.box)) continue;
-      if (level == 1 && gt_level(g) == 2) continue;
-      num_gt++;
-    }
-
-  std::vector<PredResult> results;
-  // per frame greedy matching in score order
-  std::map<std::pair<std::string, int64_t>, std::vector<int>> pred_by_frame;
+  for (size_t i = 0; i < gts.size(); ++i) {
+    const Object& g = gts[i];
+    if (g.type != cls || g.num_points == 0) continue;
+    if (!in_range(g.box)) continue;
+    bool ignored = (level == 1 && gt_level(g) == 2);
+    Frame& f = frames[{g.context, g.ts}];
+    f.gts.push_back(int(i));
+    f.gt_ignored.push_back(ignored ? 1 : 0);
+    if (!ignored) num_gt++;
+  }
+  std::vector<double> all_scores;
   for (size_t i = 0; i < preds.size(); ++i) {
     const Object& p = preds[i];
-    if (p.type != cls) continue;
-    pred_by_frame[{p.context, p.ts}].push_back(int(i));
+    if (p.type != cls || !in_range(p.box)) continue;
+    frames[{p.context, p.ts}].preds.push_back(int(i));
+    all_scores.push_back(p.score);
   }
-  for (auto& kv : pred_by_frame) {
-    auto& pl = kv.second;
-    std::sort(pl.begin(), pl.end(), [&](int x, int y) {
+  if (num_gt == 0 || all_scores.empty()) return {0.0, 0.0};
+
+  for (auto& kv : frames) {
+    Frame& f = kv.second;
+    std::sort(f.preds.begin(), f.preds.end(), [&](int x, int y) {
       return preds[x].score > preds[y].score;
     });
-    auto git = gt_by_frame.find(kv.first);
-    std::vector<int> gl = git == gt_by_frame.end() ? std::vector<int>()
-                                                   : git->second;
-    std::vector<bool> used(gl.size(), false);
-    for (int pi : pl) {
-      const Object& p = preds[pi];
-      double best_iou = iou_thresh;
-      int best = -1;
-      for (size_t j = 0; j < gl.size(); ++j) {
-        if (used[j]) continue;
-        double iou = IoU3D(p.box, gts[gl[j]].box);
-        if (iou >= best_iou) {
-          best_iou = iou;
-          best = int(j);
-        }
-      }
-      if (best >= 0) {
-        used[best] = true;
-        const Object& g = gts[gl[best]];
-        bool gt_counted = in_range(g.box) &&
-                          !(level == 1 && gt_level(g) == 2);
-        if (!gt_counted) {
-          results.push_back({p.score, 2, 0.0});  // ignored
-        } else {
-          double dh = WrapAngle(p.box.heading - g.box.heading);
-          double hacc = std::max(0.0, 1.0 - std::fabs(dh) / M_PI);
-          results.push_back({p.score, 1, hacc});
-        }
-      } else {
-        if (!in_range(p.box)) {
-          results.push_back({p.score, 2, 0.0});  // outside breakdown
-        } else {
-          results.push_back({p.score, 0, 0.0});
-        }
-      }
-    }
+    f.iou.assign(f.preds.size(),
+                 std::vector<double>(f.gts.size(), 0.0));
+    for (size_t i = 0; i < f.preds.size(); ++i)
+      for (size_t j = 0; j < f.gts.size(); ++j)
+        f.iou[i][j] = IoU3D(preds[f.preds[i]].box, gts[f.gts[j]].box);
   }
 
-  if (num_gt == 0) return {0.0, 0.0};
-  std::sort(results.begin(), results.end(),
-            [](const PredResult& a, const PredResult& b) {
-              return a.score > b.score;
-            });
+  // score cutoffs: quantiles of the shard's prediction scores
+  // (DecideScoreCutoffs analog), evaluated from high to low
+  std::sort(all_scores.begin(), all_scores.end());
+  std::vector<double> cutoffs;
+  int k = std::min<int>(num_cutoffs, int(all_scores.size()));
+  for (int i = 0; i < k; ++i) {
+    size_t idx = (k == 1) ? 0
+                          : size_t((double(i) * (all_scores.size() - 1))
+                                   / (k - 1));
+    cutoffs.push_back(all_scores[idx]);
+  }
+  cutoffs.erase(std::unique(cutoffs.begin(), cutoffs.end()), cutoffs.end());
+  std::sort(cutoffs.rbegin(), cutoffs.rend());  // descending
+
   std::vector<double> recall, precision, precision_h;
-  double tp = 0, fp = 0, tph = 0;
-  for (const auto& r : results) {
-    if (r.kind == 2) continue;
-    if (r.kind == 1) {
-      tp += 1;
-      tph += r.hacc;
-    } else {
-      fp += 1;
+  for (double cutoff : cutoffs) {
+    double tp = 0, fp = 0, tph = 0;
+    for (auto& kv : frames) {
+      Frame& f = kv.second;
+      // predictions above the cutoff = prefix of the score-sorted list
+      size_t m = 0;
+      while (m < f.preds.size() && preds[f.preds[m]].score >= cutoff) ++m;
+      if (m == 0) continue;
+      std::vector<std::vector<double>> benefit(
+          m, std::vector<double>(f.gts.size(), -1.0));
+      for (size_t i = 0; i < m; ++i)
+        for (size_t j = 0; j < f.gts.size(); ++j)
+          if (f.iou[i][j] >= iou_thresh) benefit[i][j] = f.iou[i][j];
+      std::vector<int> match = MaxWeightAssign(benefit);
+      for (size_t i = 0; i < m; ++i) {
+        int j = match[i];
+        if (j < 0) {
+          fp += 1;
+        } else if (f.gt_ignored[j]) {
+          // matched to above-difficulty GT: neither TP nor FP
+        } else {
+          const Object& p = preds[f.preds[i]];
+          const Object& g = gts[f.gts[j]];
+          double dh = WrapAngle(p.box.heading - g.box.heading);
+          tp += 1;
+          tph += std::max(0.0, 1.0 - std::fabs(dh) / M_PI);
+        }
+      }
     }
+    if (tp + fp <= 0) continue;
     recall.push_back(tp / num_gt);
     precision.push_back(tp / (tp + fp));
     precision_h.push_back(tph / (tp + fp));
   }
-  // monotone envelope + trapezoid-free staircase integration
-  for (int i = int(precision.size()) - 2; i >= 0; --i) {
-    precision[i] = std::max(precision[i], precision[i + 1]);
-    precision_h[i] = std::max(precision_h[i], precision_h[i + 1]);
+  // order by increasing recall (descending cutoffs usually already are)
+  std::vector<size_t> order(recall.size());
+  for (size_t i = 0; i < order.size(); ++i) order[i] = i;
+  std::sort(order.begin(), order.end(), [&](size_t a, size_t b) {
+    return recall[a] < recall[b];
+  });
+  std::vector<double> r2, p2, ph2;
+  for (size_t idx : order) {
+    r2.push_back(recall[idx]);
+    p2.push_back(precision[idx]);
+    ph2.push_back(precision_h[idx]);
   }
   APResult out;
-  double prev_r = 0;
-  for (size_t i = 0; i < recall.size(); ++i) {
-    double dr = recall[i] - prev_r;
-    if (dr > 0) {
-      out.ap += dr * precision[i];
-      out.aph += dr * precision_h[i];
-      prev_r = recall[i];
-    }
-  }
+  out.ap = IntegrateAP(r2, p2);
+  out.aph = IntegrateAP(r2, ph2);
   return out;
 }
 
@@ -413,13 +512,22 @@ int main(int argc, char** argv) {
                preds.size(), gts.size());
 
   const double kInf = 1e18;
+  struct Job {
+    char line[128];
+    int cls, level;
+    double thr, lo, hi;
+    APResult r;
+  };
+  std::vector<Job> jobs;
   // OBJECT_TYPE breakdown: Vehicle, Pedestrian, Sign, Cyclist x L1/L2
   for (int cls : {1, 2, 3, 4}) {
-    double thr = (cls == 1) ? 0.7 : (cls == 3 ? 0.5 : 0.5);
+    double thr = (cls == 1) ? 0.7 : 0.5;
     for (int level : {1, 2}) {
-      APResult r = ComputeAP(preds, gts, cls, level, thr, 0, kInf);
-      std::printf("OBJECT_TYPE_TYPE_%s_LEVEL_%d: [mAP %.6g] [mAPH %.6g]\n",
-                  kTypeNames[cls], level, r.ap, r.aph);
+      Job j{};
+      std::snprintf(j.line, sizeof(j.line),
+                    "OBJECT_TYPE_TYPE_%s_LEVEL_%d", kTypeNames[cls], level);
+      j.cls = cls; j.level = level; j.thr = thr; j.lo = 0; j.hi = kInf;
+      jobs.push_back(j);
     }
   }
   // RANGE breakdown
@@ -430,12 +538,31 @@ int main(int argc, char** argv) {
     double thr = (cls == 1) ? 0.7 : 0.5;
     for (int b = 0; b < 3; ++b) {
       for (int level : {1, 2}) {
-        APResult r = ComputeAP(preds, gts, cls, level, thr, lo[b], hi[b]);
-        std::printf(
-            "RANGE_TYPE_%s_%s_LEVEL_%d: [mAP %.6g] [mAPH %.6g]\n",
-            kTypeNames[cls], rng_name[b], level, r.ap, r.aph);
+        Job j{};
+        std::snprintf(j.line, sizeof(j.line), "RANGE_TYPE_%s_%s_LEVEL_%d",
+                      kTypeNames[cls], rng_name[b], level);
+        j.cls = cls; j.level = level; j.thr = thr; j.lo = lo[b];
+        j.hi = hi[b];
+        jobs.push_back(j);
       }
     }
   }
+  // each breakdown is independent — run them across hardware threads
+  unsigned nthreads = std::max(1u, std::thread::hardware_concurrency());
+  std::atomic<size_t> next(0);
+  std::vector<std::thread> pool;
+  for (unsigned t = 0; t < std::min<size_t>(nthreads, jobs.size()); ++t) {
+    pool.emplace_back([&]() {
+      for (;;) {
+        size_t i = next.fetch_add(1);
+        if (i >= jobs.size()) return;
+        Job& j = jobs[i];
+        j.r = ComputeAP(preds, gts, j.cls, j.level, j.thr, j.lo, j.hi);
+      }
+    });
+  }
+  for (auto& th : pool) th.join();
+  for (const Job& j : jobs)
+    std::printf("%s: [mAP %.6g] [mAPH %.6g]\n", j.line, j.r.ap, j.r.aph);
   return 0;
 }

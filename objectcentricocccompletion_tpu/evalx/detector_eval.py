@@ -18,19 +18,27 @@ from .kitti_eval import difficulty_from_annos, kitti_eval
 
 def host_nms(boxes: np.ndarray, scores: np.ndarray, iou_thresh: float = 0.25,
              max_out: int = 200) -> np.ndarray:
-    """Greedy rotated-BEV-3D NMS on the host; returns kept indices."""
+    """Greedy rotated 3D NMS; returns kept indices sorted by score.
+
+    The pairwise IoU matrix is computed once on device
+    (``kitti_eval._pairwise_iou3d`` — jitted, bucket-padded); only the
+    O(n^2) boolean suppression sweep stays on the host."""
+    from .kitti_eval import _pairwise_iou3d
+    n = len(boxes)
+    if n == 0:
+        return np.asarray([], np.int64)
     order = np.argsort(-scores)
+    iou = _pairwise_iou3d(boxes[order], boxes[order])
+    alive = np.ones(n, bool)
     keep = []
-    for i in order:
+    for i in range(n):
+        if not alive[i]:
+            continue
+        keep.append(int(order[i]))
         if len(keep) >= max_out:
             break
-        if keep:
-            kept = boxes[np.asarray(keep)]
-            iou = npg.aligned_iou_3d(np.repeat(boxes[i:i + 1], len(kept), 0),
-                                     kept)
-            if np.any(iou > iou_thresh):
-                continue
-        keep.append(int(i))
+        alive &= ~(iou[i] > iou_thresh)
+        alive[i] = False
     return np.asarray(keep, np.int64)
 
 

@@ -23,11 +23,34 @@ DIFFICULTY_PARAMS = {   # min_height(px), max_occlusion, max_truncation
 IOU_THRESH = {"Car": 0.7, "Pedestrian": 0.5, "Cyclist": 0.5}
 
 
+_IOU_JIT = {}
+
+
+def _bucket(n: int) -> int:
+    return max(8, 1 << (int(n) - 1).bit_length())
+
+
 def _pairwise_iou3d(a: np.ndarray, b: np.ndarray) -> np.ndarray:
-    out = np.zeros((len(a), len(b)))
-    for i in range(len(a)):
-        out[i] = npg.aligned_iou_3d(np.repeat(a[i:i + 1], len(b), 0), b)
-    return out
+    """Pairwise rotated 3D IoU on device (jitted ``pairwise_iou_3d``,
+    shapes padded to power-of-2 buckets so a handful of compiles covers a
+    full validation set — the per-pair python polygon clipping this
+    replaces is ~1000x slower at val scale)."""
+    if len(a) == 0 or len(b) == 0:
+        return np.zeros((len(a), len(b)))
+    import jax
+    import jax.numpy as jnp
+
+    from ..core import boxes as box_ops
+    P, G = _bucket(len(a)), _bucket(len(b))
+    key = (P, G)
+    if key not in _IOU_JIT:
+        _IOU_JIT[key] = jax.jit(box_ops.pairwise_iou_3d)
+    pa = np.zeros((P, 7), np.float32)
+    pa[:len(a)] = a
+    pb = np.zeros((G, 7), np.float32)
+    pb[:len(b)] = b
+    out = np.asarray(_IOU_JIT[key](jnp.asarray(pa), jnp.asarray(pb)))
+    return out[:len(a), :len(b)]
 
 
 def gt_difficulty(heights_px, occlusions, truncations) -> np.ndarray:
@@ -78,13 +101,13 @@ def eval_class(pred_boxes_list, pred_scores_list, gt_boxes_list,
         iou = _pairwise_iou3d(pb, gb) if len(gb) else \
             np.zeros((len(pb), 0))
         for pi in order:
-            best, best_iou = -1, iou_thresh
-            for gi in range(len(gb)):
-                if used[gi]:
-                    continue
-                if iou[pi, gi] >= best_iou:
-                    best, best_iou = gi, iou[pi, gi]
-            if best >= 0:
+            if len(gb):
+                row = np.where(used, -1.0, iou[pi])
+                best = int(row.argmax())
+                hit = row[best] >= iou_thresh
+            else:
+                hit = False
+            if hit:
                 used[best] = True
                 kinds.append(1 if counted[best] else 2)  # TP or ignored
             else:

@@ -1,5 +1,6 @@
 """KITTI AP evaluator semantics (modeled on the reference's
 tests/test_metrics/test_kitti_eval.py intent)."""
+import pytest
 import numpy as np
 
 from objectcentricocccompletion_tpu.evalx.kitti_eval import (
@@ -137,20 +138,30 @@ def test_evaluate_detector_waymo_oracle(tmp_path):
     info_path = write_frame_dataset(str(tmp_path), num_frames=3)
     ds = FrameDataset(info_path, str(tmp_path), max_points=4096)
 
+    n_gt = 0
+
     def oracle(params, points, mask):
+        nonlocal n_gt
         i = oracle.calls
         oracle.calls += 1
         s = ds.build_sample(i, np.random.RandomState(0))
         n = int(s["gt_valid"].sum())
-        return (s["gt_boxes"][:n], np.full(n, 0.9), s["gt_labels"][:n],
+        # distinct scores: the official protocol samples score cutoffs, so
+        # identical scores collapse the P/R curve to one point
+        scores = 0.9 - 0.01 * (n_gt + np.arange(n))
+        n_gt += n
+        return (s["gt_boxes"][:n], scores, s["gt_labels"][:n],
                 np.ones(n, bool))
     oracle.calls = 0
     out = evaluate_detector_waymo(None, "fsd", None, ds,
                                   str(tmp_path / "eval"),
                                   predict_fn=oracle)
     # RANGE buckets without GT legitimately report 0 — assert on the
-    # OBJECT_TYPE breakdown, the headline metric
+    # OBJECT_TYPE breakdown, the headline metric. With few GT the official
+    # delta=0.05 recall-gap penalty caps perfect AP at min(1, 0.05 * N).
     veh = {k: v for k, v in out.items()
            if k.startswith("OBJECT_TYPE_TYPE_VEHICLE")}
     assert veh, out
-    assert min(veh.values()) > 0.99, veh
+    expect = min(1.0, 0.05 * n_gt)
+    for k, v in veh.items():
+        assert v == pytest.approx(expect, abs=1e-5), (k, v, expect)
