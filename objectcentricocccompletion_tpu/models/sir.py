@@ -67,24 +67,27 @@ class SIRBlock(nn.Module):
         return x, jnp.concatenate(cluster_feats, axis=-1)
 
 
-class FusedSIRBlock(nn.Module):
-    """SIR block running the fused Pallas kernel (``ops/pallas_sir.py``):
-    gate MLP + both VFE layers + masked maxima live in VMEM per RoI, cutting
-    the HBM-bound multiply/reduce fusions that dominate the einsum path
-    (~45% of the measured train step). Parameters are declared flat (own
-    names), so checkpoints are specific to the fused mode.
+def _pallas_interpret() -> bool:
+    """interpret everywhere except a real TPU trace; honor a
+    `jax.default_device(cpu)` context (used for CPU-offloaded init)."""
+    dd = jax.config.jax_default_device
+    on_tpu = (jax.default_backend() == "tpu"
+              and (dd is None or dd.platform == "tpu"))
+    return not on_tpu
 
-    Math (and gradients, via the kernel's recompute VJP) are identical to
-    ``SIRBlock`` — verified in tests/test_pallas_sir.py."""
+
+class FusedSIRBlockParams(nn.Module):
+    """Parameter container for one block of the fused SIR encoder kernel
+    (``ops/pallas_sir.py::fused_sir_encoder``). Declares the same tensors as
+    ``SIRBlock`` under flat names; ``tensors()`` yields the kernel's
+    15-tuple. The encoder-level kernel consumes all blocks in one call."""
     feat_channels: Sequence[int] = (128, 128)
     rel_mlp_hidden: Sequence[int] = (16, 32)
     rel_in: int = 13
+    in_dim: int = 144
 
-    @nn.compact
-    def __call__(self, in_feats: jax.Array, f_rel: jax.Array,
-                 mask: jax.Array, *, train: bool = False):
-        from ..ops.pallas_sir import fused_sir_block
-        C = in_feats.shape[-1]
+    def setup(self):
+        C = self.in_dim
         h0, h1 = self.rel_mlp_hidden
         C1, C2 = self.feat_channels
         assert C1 == C2, "fused kernel assumes equal VFE widths"
@@ -95,7 +98,7 @@ class FusedSIRBlock(nn.Module):
             return (self.param(f"{prefix}_scale", ones, (c,)),
                     self.param(f"{prefix}_bias", zeros, (c,)))
 
-        params = (
+        self._tensors = (
             self.param("gate_w0", lecun, (self.rel_in, h0)),
             *ln("gate_ln0", h0),
             self.param("gate_w1", lecun, (h0, h1)), *ln("gate_ln1", h1),
@@ -103,13 +106,12 @@ class FusedSIRBlock(nn.Module):
             self.param("vfe_w1", lecun, (C, C1)), *ln("vfe_ln1", C1),
             self.param("vfe_w2", lecun, (2 * C1, C1)), *ln("vfe_ln2", C1),
         )
-        # interpret everywhere except a real TPU trace; honor a
-        # `jax.default_device(cpu)` context (used for CPU-offloaded init)
-        dd = jax.config.jax_default_device
-        on_tpu = (jax.default_backend() == "tpu"
-                  and (dd is None or dd.platform == "tpu"))
-        return fused_sir_block(in_feats, f_rel, mask, params,
-                               not on_tpu)
+
+    def tensors(self):
+        return self._tensors
+
+    def __call__(self):  # pragma: no cover - params-only module
+        return self._tensors
 
 
 class SIREncoder(nn.Module):
@@ -154,6 +156,9 @@ class SIREncoder(nn.Module):
             f_cluster = xyz - center[..., None, :]
         f_rel = f_cluster / self.rel_dist_scaler
 
+        if self.use_pallas:
+            return self._fused(xyz_n, feats, f_rel, mask)
+
         out_feats = feats
         cluster_list = []
         for i in range(self.num_blocks):
@@ -161,17 +166,11 @@ class SIREncoder(nn.Module):
             if self.geo_input:
                 parts.append(f_rel)
             in_feats = jnp.concatenate(parts, axis=-1)
-            if self.use_pallas:
-                point_feats, cluster = FusedSIRBlock(
-                    self.feat_channels, self.rel_mlp_hidden,
-                    rel_in=f_rel.shape[-1], name=f"block_{i}"
-                )(in_feats, f_rel, mask, train=train)
-            else:
-                point_feats, cluster = SIRBlock(
-                    self.feat_channels, self.rel_mlp_hidden, act=self.act,
-                    dropout=self.dropout, dtype=self.dtype,
-                    name=f"block_{i}"
-                )(in_feats, f_rel, mask, train=train)
+            point_feats, cluster = SIRBlock(
+                self.feat_channels, self.rel_mlp_hidden, act=self.act,
+                dropout=self.dropout, dtype=self.dtype,
+                name=f"block_{i}"
+            )(in_feats, f_rel, mask, train=train)
             if (self.with_shortcut and not self.geo_input
                     and out_feats.shape == point_feats.shape):
                 point_feats = point_feats + out_feats
@@ -179,3 +178,23 @@ class SIREncoder(nn.Module):
             cluster_list.append(cluster)
 
         return out_feats, jnp.concatenate(cluster_list, axis=-1)
+
+    def _fused(self, xyz_n, feats, f_rel, mask):
+        """Whole-encoder fused Pallas path: one kernel over all blocks; only
+        cluster features come back (OcOccNet discards point feats)."""
+        from ..ops.pallas_sir import fused_sir_encoder
+        R = f_rel.shape[-1]
+        C1 = self.feat_channels[0]
+        blocks = []
+        in_dim = 3 + feats.shape[-1] + (R if self.geo_input else 0)
+        for i in range(self.num_blocks):
+            blocks.append(FusedSIRBlockParams(
+                self.feat_channels, self.rel_mlp_hidden, rel_in=R,
+                in_dim=in_dim, name=f"block_{i}").tensors())
+            in_dim = 3 + C1 + (R if self.geo_input else 0)
+        dt = self.dtype
+        cluster = fused_sir_encoder(
+            xyz_n.astype(dt), feats.astype(dt), f_rel.astype(dt), mask,
+            tuple(blocks), self.geo_input, self.with_shortcut,
+            _pallas_interpret())
+        return None, cluster
