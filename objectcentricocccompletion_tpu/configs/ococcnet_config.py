@@ -84,6 +84,14 @@ class OcOccNetConfig:
     loss_bbox_weight: float = 2.0
     loss_cls_weight: float = 1.0
     loss_occ_weight: float = 1.0
+    # corner loss (FullySparseBboxHead with_corner_loss — on for the CTRL
+    # vehicle config `configs/ctrl/ctrl_veh_24e.py:110`, off for ped/cyc and
+    # unused by ococcnet)
+    corner_loss_weight: float = 0.0
+
+    # object classes (single-class tracklet refinement; the reference ships
+    # vehicle/pedestrian/cyclist CTRL variants)
+    class_names: Tuple[str, ...] = ("Car",)
 
     # optimization (cosine_2x schedule, ococcnet optimizer block)
     base_lr: float = 1e-6
@@ -99,6 +107,28 @@ class OcOccNetConfig:
     @property
     def points_dim(self) -> int:
         return 3 + self.num_point_feats
+
+
+def ctrl_veh_config() -> OcOccNetConfig:
+    """CTRL vehicle baseline (``configs/ctrl/ctrl_veh_24e.py``)."""
+    return OcOccNetConfig(variant="ctrl", class_names=("Car",),
+                          corner_loss_weight=1.0)
+
+
+def ctrl_ped_config() -> OcOccNetConfig:
+    """CTRL pedestrian (``configs/ctrl/ctrl_ped_24e.py``): cls thresholds
+    0.65/0.15, no corner loss."""
+    return OcOccNetConfig(variant="ctrl", class_names=("Pedestrian",),
+                          cls_pos_thr=0.65, cls_neg_thr=0.15,
+                          corner_loss_weight=0.0, max_epochs=24)
+
+
+def ctrl_cyc_config() -> OcOccNetConfig:
+    """CTRL cyclist (``configs/ctrl/ctrl_cyc_12e.py``): cls thresholds
+    0.65/0.15, no corner loss, 12 epochs."""
+    return OcOccNetConfig(variant="ctrl", class_names=("Cyclist",),
+                          cls_pos_thr=0.65, cls_neg_thr=0.15,
+                          corner_loss_weight=0.0, max_epochs=12)
 
 
 def tiny_config() -> OcOccNetConfig:

@@ -86,6 +86,26 @@ def points_in_boxes(points: jax.Array, boxes: jax.Array,
     return jnp.all(jnp.abs(local) <= half, axis=-1)
 
 
+def corners_3d(boxes: jax.Array) -> jax.Array:
+    """All 8 corners [..., 8, 3] of bottom-center boxes (yaw about z).
+
+    Counterpart of ``LiDARInstance3DBoxes.corners`` for the corner loss
+    (``fsd_bbox_head.py:get_corner_loss_lidar``); corner ORDER differs from
+    the reference but the loss is order-consistent pred-vs-gt."""
+    w = boxes[..., 3:4]
+    l = boxes[..., 4:5]
+    h = boxes[..., 5:6]
+    sx = jnp.stack([w, -w, -w, w] * 2, axis=-2) * 0.5      # [..., 8, 1]
+    sy = jnp.stack([l, l, -l, -l] * 2, axis=-2) * 0.5
+    sz = jnp.concatenate(
+        [jnp.zeros_like(sx[..., :4, :]),
+         jnp.broadcast_to(h[..., None, :], sx[..., :4, :].shape)], axis=-2)
+    bev = rotate_z_2d(jnp.concatenate([sx, sy], axis=-1),
+                      boxes[..., None, 6]) + boxes[..., None, 0:2]
+    z = sz + boxes[..., None, 2:3]
+    return jnp.concatenate([bev, z], axis=-1)
+
+
 def corners_bev(boxes: jax.Array) -> jax.Array:
     """BEV corners [..., 4, 2] of boxes, counter-clockwise in box frame."""
     w = boxes[..., 3:4]

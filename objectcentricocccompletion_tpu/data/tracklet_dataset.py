@@ -114,7 +114,9 @@ class TrackletDataset:
                  min_tracklet_points: int = 100,
                  min_tracklet_length: int | None = None,
                  training: bool = True, load_interval: int = 1,
-                 mirror_occ: bool = False, frame_dropout: float = 0.0):
+                 mirror_occ: bool = False, frame_dropout: float = 0.0,
+                 occ_info_file: str | None = None,
+                 occ_compute_score: bool = False):
         self.cfg = cfg
         self.training = training
         # augmentation can be toggled off mid-training
@@ -126,6 +128,19 @@ class TrackletDataset:
         self.frame_dropout = frame_dropout
         self.occ_anno_root = occ_anno_root
         self.class_names = list(class_names)
+        # Waymo object types of the selected classes (reference ships
+        # vehicle (1), pedestrian (2, configs/ctrl/ctrl_ped_24e.py) and
+        # cyclist (4, ctrl_cyc_12e.py) variants)
+        type_of = {"Car": 1, "Vehicle": 1, "Pedestrian": 2, "Ped": 2,
+                   "Cyclist": 4, "Cyc": 4}
+        self.types = {type_of[c] for c in self.class_names}
+        # optional predicted-track occ annotation info: trk_id ->
+        # (anno_uuid, label_iou, label_trk_length) — the `oid2occ` path of
+        # `WaymoTrackletDatasetWithOcc.parse_occ_anno`
+        # (waymo_tracklet_dataset.py:562-586); absent = GT annos (iou 1.0)
+        self.oid2occ = (_load_pkl(occ_info_file) if occ_info_file else None)
+        # LoadAnnotationsOcc(compute_score=True): score = known fraction
+        self.occ_compute_score = occ_compute_score
         min_len = (min_tracklet_length if min_tracklet_length is not None
                    else (cfg.reg_len if training else 1))
 
@@ -141,7 +156,7 @@ class TrackletDataset:
             if rec.num_pts is not None and rec.num_pts.sum() < \
                     min_tracklet_points:
                 continue
-            if rec.type != 1:   # vehicles only, matching `e[2] == 1` filter
+            if rec.type not in self.types:   # class filter (`e[2] == type`)
                 continue
             if len(rec) < min_len:
                 continue
@@ -187,10 +202,32 @@ class TrackletDataset:
                    ) -> tuple[np.ndarray, np.ndarray, float]:
         """Load the occ grid and draw balanced occupied/free voxel-center
         samples in the grid's gravity-centered frame
-        (``RandomSampleOccPoints``, balance_sample path)."""
+        (``RandomSampleOccPoints``, balance_sample path).
+
+        The returned score is the annotation confidence ``label_iou``
+        (``parse_occ_anno``, ``waymo_tracklet_dataset.py:562-586``): 1.0 for
+        GT annotations, the candidates-pkl mIoU for predicted-track
+        annotations (``oid2occ``), the known-voxel fraction when
+        ``occ_compute_score`` (``LoadAnnotationsOcc``,
+        ``occ_pinelines.py:44-58``), and 0.0 for missing/degenerate grids —
+        the trainer gates occ loss at ``occ_label_thresh``."""
         K = self.cfg.num_occ_samples
-        path = (os.path.join(self.occ_anno_root, segment, f"{trk_id}.npz")
-                if self.occ_anno_root else None)
+        base_score = 1.0
+        if self.oid2occ is not None:
+            info = self.oid2occ.get(trk_id)
+            if info is None:
+                path = None
+            else:
+                anno_uuid, miou, _trk_len = info
+                seg_a, tid, _ = anno_uuid.split("__")
+                base_score = float(miou)
+                path = (os.path.join(self.occ_anno_root, seg_a,
+                                     f"{tid}.npz")
+                        if self.occ_anno_root else None)
+        else:
+            path = (os.path.join(self.occ_anno_root, segment,
+                                 f"{trk_id}.npz")
+                    if self.occ_anno_root else None)
         empty = (np.zeros((K, 3), np.float32), np.zeros((K,), np.int32), 0.0)
         if path is None or not os.path.exists(path):
             return empty
@@ -198,6 +235,8 @@ class TrackletDataset:
             occ = np.load(path)["occ"]
         except Exception:
             return empty
+        if self.occ_compute_score:
+            base_score = float((occ != 0).sum()) / max(occ.size, 1)
         if self.mirror_occ:
             occ = mirror_occ_label(occ)
         vs = self.cfg.ae_voxel_size
@@ -212,6 +251,8 @@ class TrackletDataset:
         pos_idx = idx[vals == 1]
         neg_idx = idx[vals != 1]
         if len(pos_idx) == 0 or len(neg_idx) == 0:
+            # degenerate grid: "do not use this sample"
+            # (occ_pinelines.py:265-273)
             sel = rng.choice(idx, K, replace=len(idx) < K)
             score = 0.0
         else:
@@ -220,7 +261,7 @@ class TrackletDataset:
                 rng.choice(pos_idx, npos, replace=len(pos_idx) < npos),
                 rng.choice(neg_idx, K - npos,
                            replace=len(neg_idx) < (K - npos))])
-            score = 1.0   # gt_anno_occ path: label_iou = 1.0
+            score = base_score
         coors = np.stack(np.unravel_index(sel, occ.shape), -1)
         centers = (coors + 0.5) * vs - size / 2
         labels = (flat[sel] == 1).astype(np.int32)

@@ -63,20 +63,28 @@ class Evaluator:
     def __init__(self, model: OcOccNetWithLoss, params, dataset: TrackletDataset,
                  cfg: OcOccNetConfig, occ_label_thresh: float | None = None,
                  online_tuning_iters: int = 0,
-                 online_tuning_lr: float = 0.01):
+                 online_tuning_lr: float = 0.01,
+                 tta: bool = False):
         """``online_tuning_iters > 0`` enables test-time latent optimization
         against the observed occupancy before decoding (reference
-        ``test_cfg.online_tuning``, ``occ_ae_head.py:346-391``)."""
+        ``test_cfg.online_tuning``, ``occ_ae_head.py:346-391``).
+
+        ``tta=True`` runs the double-flip test-time augmentation
+        (``MultiScaleFlipAug3D`` eval mode, ``configs/ococc/
+        ococcnet.py:314-360`` + ``LiDARTracklet.merge_augs``): four flip
+        variants per batch, predictions inverted and merged."""
         self.model = model
         self.params = params
         self.ds = dataset
         self.cfg = cfg
+        self.tta = tta
         self.occ_label_thresh = (occ_label_thresh if occ_label_thresh
                                  is not None else cfg.occ_label_thresh)
         self.online_tuning_iters = online_tuning_iters
         self.online_tuning_lr = online_tuning_lr
         self._predict = {}
         self._occ_eval = {}
+        self._save_occ = {}
         self._tune = None
 
     def _maybe_tune(self, pred: dict, padded: dict) -> dict:
@@ -116,9 +124,18 @@ class Evaluator:
 
     def _predict_fn(self, L: int):
         if L not in self._predict:
-            def fn(params, batch):
-                return self.model.apply({"params": params}, batch,
-                                        method=self.model.predict)
+            if self.tta:
+                from .tta import predict_tta
+
+                def fn(params, batch):
+                    return predict_tta(
+                        lambda b: self.model.apply(
+                            {"params": params}, b,
+                            method=self.model.predict), batch)
+            else:
+                def fn(params, batch):
+                    return self.model.apply({"params": params}, batch,
+                                            method=self.model.predict)
             self._predict[L] = jax.jit(fn)
         return self._predict[L]
 
@@ -246,17 +263,43 @@ class Evaluator:
                     num_lidar_points=int(np_), difficulty=1))
         write_bin(objs, path)
 
+    def _save_occ_fn(self, key):
+        """Batched occ dump decode, one compile per (L, Kq) bucket: decode
+        ALL frames' query grids in one call and transform positives to the
+        shared frame on device."""
+        if key not in self._save_occ:
+            from ..core import boxes as box_ops
+
+            def fn(params, latent, queries, rois):
+                logits = self.model.apply(
+                    {"params": params}, latent, queries,
+                    method=self.model.decode_occ_queries)
+                prob = jax.nn.sigmoid(logits)            # [L, Kq]
+                ego = box_ops.local_to_global(queries, rois)  # [L, Kq, 3]
+                return prob, ego
+            self._save_occ[key] = jax.jit(fn)
+        return self._save_occ[key]
+
     def save_occ(self, out_root: str, rec, sample: dict, pred, T: int,
                  max_queries: int = 8192):
         """Dump predicted occupancy per frame as
         ``<out>/<segment>/<ts>/<type>_<id>.bin`` float32 [K, 4] (xyz in the
         shared frame + score) — the W8 artifact consumed by
         ``LoadPointsAndOccPredFromFile`` (reference
-        ``tracklet_roi_head_occ.save_occ_from_tracklet`` :612-744)."""
-        rois = sample["rois"][:T]
-        latent = pred["shape_latent"][0][:T]
+        ``tracklet_roi_head_occ.save_occ_from_tracklet`` :612-744).
+
+        All frames decode in ONE jitted call at a fixed query budget
+        (per-frame grids padded/masked), so the device never recompiles per
+        tracklet."""
+        latent = pred["shape_latent"][0]                 # [L, D] (padded)
+        L = latent.shape[0]
+        Kq = max_queries
+        rois = np.asarray(sample["rois"])[:L]
         ts = sample["meta"]["ts"][:T]
         scores = np.asarray(pred["scores"][0])[:T]
+
+        queries = np.zeros((L, Kq, 3), np.float32)
+        qvalid = np.zeros((L, Kq), bool)
         for j in range(T):
             size = rois[j, 3:6]
             dims = np.maximum(np.ceil(size / self.cfg.ae_voxel_size), 1
@@ -265,22 +308,22 @@ class Evaluator:
                                          indexing="ij"), -1).reshape(-1, 3)
             centers = ((coors + 0.5) * self.cfg.ae_voxel_size
                        - size / 2).astype(np.float32)
-            if len(centers) > max_queries:
-                centers = centers[:max_queries]
-            logits = self.model.apply(
-                {"params": self.params}, latent[j], jnp.asarray(centers),
-                method=self.model.decode_occ_queries)
-            prob = np.asarray(jax.nn.sigmoid(logits))
-            keep = prob > self.cfg.occ_pos_thresh
+            n = min(len(centers), Kq)
+            queries[j, :n] = centers[:n]
+            qvalid[j, :n] = True
+
+        prob, ego = self._save_occ_fn((L, Kq))(
+            self.params, latent, jnp.asarray(queries),
+            jnp.asarray(np.pad(rois, ((0, max(0, L - len(rois))), (0, 0)))))
+        prob = np.asarray(prob)
+        ego = np.asarray(ego)
+        for j in range(T):
+            keep = (prob[j] > self.cfg.occ_pos_thresh) & qvalid[j]
             if not keep.any():
                 continue
-            kept = centers[keep]
-            # box-local -> shared frame (local_to_global with gravity ctr)
-            from ..core import boxes as box_ops
-            ego = np.asarray(box_ops.local_to_global(
-                jnp.asarray(kept[None]), jnp.asarray(rois[j][None]))[0])
             out = np.concatenate(
-                [ego, np.full((len(ego), 1), scores[j], np.float32)], -1)
+                [ego[j][keep],
+                 np.full((int(keep.sum()), 1), scores[j], np.float32)], -1)
             d = os.path.join(out_root, rec.segment_name, str(ts[j]))
             os.makedirs(d, exist_ok=True)
             out.astype(np.float32).tofile(

@@ -246,9 +246,30 @@ class OcOccNetWithLoss(nn.Module):
                      * jnp.sum(l1 * posf[..., None])
                      / jnp.clip(num_pos, 1.0, None))
 
+        loss_corner = 0.0
+        if cfg.corner_loss_weight > 0:
+            # FullySparseBboxHead corner loss (fsd_bbox_head.py:
+            # get_corner_loss_lidar): huber of the min-over-heading-flip
+            # corner distance between decoded and GT boxes, positives only
+            pred_boxes = coder.decode_from_rois(batch.rois,
+                                                out["bbox_pred"])
+            pc = box_ops.corners_3d(pred_boxes)
+            gc0 = box_ops.corners_3d(batch.gt_boxes)
+            gt_flip = batch.gt_boxes.at[..., 6].add(jnp.pi)
+            gc1 = box_ops.corners_3d(gt_flip)
+            dist = jnp.minimum(
+                jnp.linalg.norm(pc - gc0, axis=-1),
+                jnp.linalg.norm(pc - gc1, axis=-1))        # [B, L, 8]
+            quad = jnp.minimum(dist, 1.0)
+            huber = 0.5 * quad ** 2 + (dist - quad)
+            loss_corner = (cfg.corner_loss_weight
+                           * jnp.sum(jnp.mean(huber, -1) * posf)
+                           / jnp.clip(num_pos, 1.0, None))
+
         if cfg.variant != "ococc":   # CTRL: box losses only
-            total = loss_cls + loss_bbox
+            total = loss_cls + loss_bbox + loss_corner
             losses = dict(loss_rcnn_cls=loss_cls, loss_rcnn_bbox=loss_bbox,
+                          loss_rcnn_corner=loss_corner,
                           loss=total, num_pos_rois=num_pos)
             return total, losses
 
@@ -268,7 +289,7 @@ class OcOccNetWithLoss(nn.Module):
         occ_denom = jnp.clip(num_pos * K, 1.0, None)
         loss_occ = cfg.loss_occ_weight * jnp.sum(occ_bce * occ_w) / occ_denom
 
-        total = loss_cls + loss_bbox + loss_occ
+        total = loss_cls + loss_bbox + loss_occ + loss_corner
         metrics = _metrics(out, soft, cls_w, occ_logits, occ_lab, occ_w,
                            num_pos)
         losses = dict(loss_rcnn_cls=loss_cls, loss_rcnn_bbox=loss_bbox,

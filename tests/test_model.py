@@ -215,3 +215,59 @@ def test_attn_window_limits_history():
     np.testing.assert_allclose(np.asarray(out1["cls_logit"])[:, 1:],
                                np.asarray(out2["cls_logit"])[:, 1:],
                                atol=1e-4)
+
+
+def test_occ_score_gates_occ_loss():
+    """A low-confidence occ annotation (label_iou below occ_label_thresh)
+    must contribute ZERO occ loss (ococc_bbox_head.py:707-710 gate)."""
+    from objectcentricocccompletion_tpu.configs import tiny_config
+    from objectcentricocccompletion_tpu.models import OcOccNetWithLoss
+    cfg = tiny_config()
+    assert cfg.occ_label_thresh == 0.4
+    batch = make_batch(cfg, seed=5)
+    model = OcOccNetWithLoss(cfg)
+    v = model.init({"params": jax.random.PRNGKey(0)}, batch, train=False)
+
+    lo = batch._replace(occ_score=jnp.full_like(batch.occ_score, 0.2))
+    hi = batch._replace(occ_score=jnp.full_like(batch.occ_score, 0.9))
+    _, aux_lo = model.apply(v, lo, train=False)
+    _, aux_hi = model.apply(v, hi, train=False)
+    assert float(aux_lo["loss_rcnn_occ"]) == 0.0
+    assert float(aux_hi["loss_rcnn_occ"]) > 0.0
+    # box losses unaffected by the occ gate
+    np.testing.assert_allclose(float(aux_lo["loss_rcnn_bbox"]),
+                               float(aux_hi["loss_rcnn_bbox"]), rtol=1e-6)
+
+
+def test_ctrl_class_variant_configs():
+    from objectcentricocccompletion_tpu.configs.ococcnet_config import (
+        ctrl_cyc_config, ctrl_ped_config, ctrl_veh_config)
+    veh, ped, cyc = ctrl_veh_config(), ctrl_ped_config(), ctrl_cyc_config()
+    for c in (veh, ped, cyc):
+        assert c.variant == "ctrl"
+    assert veh.corner_loss_weight == 1.0 and ped.corner_loss_weight == 0.0
+    assert (ped.cls_pos_thr, ped.cls_neg_thr) == (0.65, 0.15)
+    assert cyc.max_epochs == 12
+    assert ped.class_names == ("Pedestrian",)
+
+
+def test_ctrl_corner_loss():
+    """CTRL vehicle variant adds the corner loss; it shrinks when
+    predictions match GT better."""
+    import dataclasses
+    from objectcentricocccompletion_tpu.configs import tiny_config
+    from objectcentricocccompletion_tpu.models import OcOccNetWithLoss
+    cfg = dataclasses.replace(tiny_config(), variant="ctrl",
+                              corner_loss_weight=1.0)
+    batch = make_batch(cfg, seed=6)
+    model = OcOccNetWithLoss(cfg)
+    v = model.init({"params": jax.random.PRNGKey(0)}, batch, train=False)
+    total, aux = model.apply(v, batch, train=False)
+    assert "loss_rcnn_corner" in aux
+    assert float(aux["loss_rcnn_corner"]) > 0.0
+    assert np.isfinite(float(total))
+
+    g = jax.grad(lambda p: model.apply({"params": p}, batch,
+                                       train=False)[0])(v["params"])
+    assert all(bool(jnp.isfinite(x).all())
+               for x in jax.tree_util.tree_leaves(g))

@@ -32,6 +32,11 @@ def main():
     p.add_argument("--out-dir", default="work_dirs/eval")
     p.add_argument("--max-tracklets", type=int, default=None)
     p.add_argument("--no-occ", action="store_true")
+    p.add_argument("--tta", action="store_true",
+                   help="double-flip test-time augmentation "
+                        "(MultiScaleFlipAug3D eval mode)")
+    p.add_argument("--tune-steps", type=int, default=0,
+                   help="online test-time latent tuning iterations")
     p.add_argument("--tiny", action="store_true",
                    help="tiny config for smoke runs")
     p.add_argument("--cpu", action="store_true",
@@ -79,7 +84,8 @@ def main():
         raise SystemExit(f"no checkpoint found in {args.ckpt_dir}")
     params = jax.device_put(restored.params)
 
-    ev = Evaluator(model, params, ds, cfg)
+    ev = Evaluator(model, params, ds, cfg, tta=args.tta,
+                   online_tuning_iters=args.tune_steps)
     metrics = ev.run(args.out_dir, max_tracklets=args.max_tracklets,
                      eval_occ=not args.no_occ)
     print(json.dumps(metrics, indent=2, default=float))
