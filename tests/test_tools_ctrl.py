@@ -138,3 +138,66 @@ def test_create_data_tracklets_cli(tmp_path):
     s = tds.build_sample(0, np.random.RandomState(0))
     assert int(s["points_mask"].sum()) > 0
     assert int(s["gt_valid"].sum()) > 0
+
+
+def test_track_velocity_and_extend(tmp_path):
+    """Velocity extrapolation extends a constant-velocity track backward
+    with the correct positions and decayed scores."""
+    import pickle
+    from objectcentricocccompletion_tpu.data.tracklet_dataset import \
+        TrackletRecord
+    from objectcentricocccompletion_tpu.tools_ctrl.extend_tracks import (
+        extend_record, shared_frame_boxes, track_velocity)
+
+    T = 8
+    dt = 100000                       # 0.1 s
+    ts = [1_000_000 + i * dt for i in range(T)]
+    full_ts = [1_000_000 - 3 * dt + i * dt for i in range(T + 5)]
+    # 2 m/s along +x, identity poses (ego == world)
+    boxes = np.zeros((T, 7), np.float32)
+    boxes[:, 0] = 5.0 + 0.2 * np.arange(T)
+    boxes[:, 3:6] = [2.0, 4.5, 1.6]
+    poses = {t: np.eye(4) for t in full_ts}
+    rec = TrackletRecord("seg", "t1", 1, False, boxes, ts,
+                         np.full((T,), 0.9, np.float32), None)
+
+    velo = track_velocity(shared_frame_boxes(rec, poses), ts)
+    np.testing.assert_allclose(velo[:, 0], 2.0, atol=1e-4)
+    np.testing.assert_allclose(velo[:, 1:], 0.0, atol=1e-6)
+
+    ext = extend_record(rec, poses, full_ts, extend_length=3, min_length=2,
+                        score_multiplier=0.9)
+    assert len(ext) == T + 3
+    # backward-extrapolated x positions continue the 2 m/s motion
+    np.testing.assert_allclose(
+        ext.boxes[:3, 0], [5.0 - 0.6, 5.0 - 0.4, 5.0 - 0.2], atol=1e-3)
+    assert list(ext.ts) == full_ts[:3] + ts
+    # reference quirk, reproduced: backward scores decay oldest-first
+    # (lidar_tracklet.py:699-700), so the oldest frame scores highest
+    s = np.asarray(ext.scores[:3])
+    assert s[0] > s[1] > s[2]
+    assert s.max() < 0.9
+
+    # extend_all also extrapolates forward
+    ext2 = extend_record(rec, poses, full_ts, min_length=2,
+                         extend_all=True)
+    assert len(ext2) == len(full_ts)
+    np.testing.assert_allclose(ext2.boxes[-1, 0],
+                               5.0 + 0.2 * (T - 1) + 0.2 * 2, atol=1e-3)
+
+
+def test_merge_bins_and_roundtrip(tmp_path):
+    from objectcentricocccompletion_tpu.evalx.waymo_bin import read_bin
+    from objectcentricocccompletion_tpu.tools_ctrl.extend_tracks import \
+        merge_bins
+
+    box = (1.0, 2.0, -0.5, 2.0, 4.0, 1.5, 0.3)
+    a = str(tmp_path / "a.bin")
+    b = str(tmp_path / "b.bin")
+    write_bin([WaymoObject(box, 0.5, 1, "x", "seg", 1)], a)
+    write_bin([WaymoObject(box, 0.7, 1, "y", "seg", 2)] * 2, b)
+    out = str(tmp_path / "m.bin")
+    merge_bins([a, b], out)
+    recs = read_bin(out)
+    assert len(recs) == 3
+    assert {r["id"] for r in recs} == {"x", "y"}
