@@ -41,6 +41,29 @@ def project_to_range_image(points_ego: np.ndarray, extrinsic: np.ndarray,
     return rows.astype(np.int64), cols, ranges
 
 
+def range_image_to_points(ri_range: np.ndarray, extrinsic: np.ndarray,
+                          inclinations: np.ndarray) -> np.ndarray:
+    """Inverse of :func:`project_to_range_image`: a [H, W] range image ->
+    ego-frame xyz points (cells with range <= 0 are dropped).
+
+    ``inclinations`` [H] must be aligned with the image rows (Waymo stores
+    row 0 = highest beam, i.e. descending).
+    """
+    H, W = ri_range.shape
+    az_corr = np.arctan2(extrinsic[1, 0], extrinsic[0, 0])
+    cols = np.arange(W)
+    az = (W - 0.5 - cols) / W * 2.0 * np.pi - np.pi - az_corr
+    az = np.where(az > np.pi, az - 2 * np.pi, az)
+    az = np.where(az < -np.pi, az + 2 * np.pi, az)
+    ci = np.cos(inclinations)[:, None]
+    si = np.sin(inclinations)[:, None]
+    dirs = np.stack([ci * np.cos(az)[None, :], ci * np.sin(az)[None, :],
+                     np.broadcast_to(si, (H, W))], -1)      # [H, W, 3]
+    valid = ri_range > 0
+    pts_sensor = dirs[valid] * ri_range[valid][:, None]
+    return pts_sensor @ extrinsic[:3, :3].T + extrinsic[:3, 3]
+
+
 def build_virtual_range_image(points_ego: np.ndarray, extrinsic: np.ndarray,
                               inclinations: np.ndarray, width: int,
                               fill: float = 0.0) -> np.ndarray:
