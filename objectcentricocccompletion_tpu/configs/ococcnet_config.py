@@ -89,6 +89,12 @@ class OcOccNetConfig:
     # unused by ococcnet)
     corner_loss_weight: float = 0.0
 
+    # freeze the occupancy auto-encoder during training (the reference's
+    # fixed_ae mode trained through OnlyGradOptimizerWrapperConstructor,
+    # `apis/no_grad_optimizer_constructors.py:6`; the shipped ococcnet
+    # config trains the AE jointly, fixed_ae=False)
+    fixed_ae: bool = False
+
     # object classes (single-class tracklet refinement; the reference ships
     # vehicle/pedestrian/cyclist CTRL variants)
     class_names: Tuple[str, ...] = ("Car",)

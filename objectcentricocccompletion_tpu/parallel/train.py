@@ -78,9 +78,13 @@ def create_train_state(cfg: OcOccNetConfig, rng: jax.Array,
     model = OcOccNetWithLoss(cfg)
     variables = model.init({"params": rng}, sample_batch, train=False)
     params = variables["params"]
+    # fixed_ae: freeze the occupancy auto-encoder subtree (the reference's
+    # OnlyGrad optimizer constructor used with a pretrained AE)
+    frozen = ("ae_encoder",) if getattr(cfg, "fixed_ae", False) else ()
     tx, schedule = make_optimizer(
         cfg.base_lr, total_steps, weight_decay=cfg.weight_decay,
-        grad_clip=cfg.grad_clip_norm, peak_ratio=cfg.lr_mult)
+        grad_clip=cfg.grad_clip_norm, peak_ratio=cfg.lr_mult,
+        frozen_prefixes=frozen)
     state = TrainState(jnp.zeros((), jnp.int32), params, tx.init(params))
     return model, state, tx, schedule
 

@@ -51,12 +51,35 @@ def _no_decay_mask(params):
 
 def make_optimizer(base_lr: float, total_steps: int,
                    weight_decay: float = 0.05, grad_clip: float = 10.0,
-                   peak_ratio: float = 100.0):
+                   peak_ratio: float = 100.0,
+                   frozen_prefixes: tuple = ()):
+    """``frozen_prefixes``: parameter subtrees (top-level path substrings)
+    that receive ZERO updates — the reference's frozen-AE training mode
+    (``OnlyGradOptimizerWrapperConstructor``,
+    ``apis/no_grad_optimizer_constructors.py:6-129``, used with
+    ``fixed_ae=True``). Implemented as optax.multi_transform so the frozen
+    subtree carries no Adam moments either, exactly like params excluded
+    from the torch optimizer groups."""
     schedule = cyclic_cosine_schedule(base_lr, total_steps,
                                       peak_ratio=peak_ratio)
-    tx = optax.chain(
+    train_tx = optax.chain(
         optax.clip_by_global_norm(grad_clip),
         optax.adamw(schedule, b1=0.9, b2=0.999, weight_decay=weight_decay,
                     mask=_no_decay_mask),
     )
+    if not frozen_prefixes:
+        return train_tx, schedule
+
+    import jax
+
+    def label_fn(params):
+        def label(path, leaf):
+            names = [getattr(p, "key", str(p)) for p in path]
+            joined = "/".join(names)
+            frozen = any(f in joined for f in frozen_prefixes)
+            return "frozen" if frozen else "train"
+        return jax.tree_util.tree_map_with_path(label, params)
+
+    tx = optax.multi_transform(
+        {"train": train_tx, "frozen": optax.set_to_zero()}, label_fn)
     return tx, schedule

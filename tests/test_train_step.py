@@ -152,3 +152,40 @@ def test_multihost_mesh_single_process():
     import pytest
     with pytest.raises(AssertionError):
         make_multihost_mesh(model_axis_size=3)   # 8 % 3 != 0
+
+
+def test_fixed_ae_freezes_ae_params():
+    """fixed_ae=True (OnlyGrad optimizer analog): the AE encoder subtree
+    receives ZERO updates while everything else trains."""
+    import dataclasses
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from objectcentricocccompletion_tpu.configs import tiny_config
+    from objectcentricocccompletion_tpu.data.synthetic import synthetic_batch
+    from objectcentricocccompletion_tpu.parallel.train import (
+        create_train_state, make_mesh, make_train_step, shard_batch)
+
+    cfg = dataclasses.replace(tiny_config(), fixed_ae=True)
+    batch = synthetic_batch(cfg, seed=0)
+    model, state, tx, _ = create_train_state(
+        cfg, jax.random.PRNGKey(0), batch, total_steps=10)
+    mesh = make_mesh(jax.devices()[:2])
+    step = make_train_step(model, tx, mesh)
+    p0 = jax.device_get(state.params)
+    state2, aux = step(state, shard_batch(batch, mesh),
+                       jax.random.PRNGKey(1))
+    p1 = jax.device_get(state2.params)
+
+    def subtree_delta(tree0, tree1, want):
+        flat0 = jax.tree_util.tree_flatten_with_path(tree0)[0]
+        flat1 = jax.tree_util.tree_leaves(tree1)
+        tot = 0.0
+        for (k, v0), v1 in zip(flat0, flat1):
+            if ("ae_encoder" in str(k)) == want:
+                tot += float(jnp.abs(v1 - v0).sum())
+        return tot
+
+    assert subtree_delta(p0, p1, want=True) == 0.0, "AE params moved"
+    assert subtree_delta(p0, p1, want=False) > 0.0, "nothing trained"
+    assert np.isfinite(float(aux["loss"]))
