@@ -46,18 +46,8 @@ def main():
             cfg, jax.random.PRNGKey(0), batch, total_steps=1000)
     rng = jax.random.PRNGKey(1)
 
-    # BENCH_FLAT=1 packs the state into single buffers (parallel/flat.py);
-    # default off — the remote compiler in this environment has been
-    # observed to hang on that graph, while the pytree step compiles fine
-    if os.environ.get("BENCH_FLAT", "0") == "1":
-        # single-buffer state: fewer per-call device buffers (see
-        # parallel/flat.py) — identical math to the pytree step
-        from objectcentricocccompletion_tpu.parallel.train import \
-            make_flat_train_step
-        step, state, _ = make_flat_train_step(model, tx, mesh, state)
-    else:
-        state = jax.device_put(state)
-        step = make_train_step(model, tx, mesh)
+    state = jax.device_put(state)
+    step = make_train_step(model, tx, mesh)
 
     # Measure the production feeding pattern (what training actually does):
     # a fresh host batch is staged to device every step, overlapping the

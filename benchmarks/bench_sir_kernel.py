@@ -39,7 +39,9 @@ def main():
 
     kw = dict(num_blocks=NB, feat_channels=(C1, C1), rel_mlp_hidden=(16, 32),
               xyz_normalizer=(20.0, 20.0, 4.0), geo_input=True, dtype=DT)
-    for use_pallas, name in [(True, "pallas-fused"), (False, "einsum")]:
+    import os
+    variants = [(True, "pallas-fused")] if os.environ.get("ONLY_PALLAS") else [(True, "pallas-fused"), (False, "einsum")]
+    for use_pallas, name in variants:
         enc = SIREncoder(**kw, use_pallas=use_pallas)
         v = enc.init(jax.random.PRNGKey(0), xyz, feats, mask, fc)
         params = v["params"]

@@ -129,47 +129,6 @@ def make_train_step(model: OcOccNetWithLoss, tx, mesh: Mesh,
     )
 
 
-def make_flat_train_step(model: OcOccNetWithLoss, tx, mesh: Mesh,
-                         state: TrainState):
-    """Train step over a packed single-buffer state (see ``flat.py``):
-    reduces the per-call device-buffer count from O(hundreds of leaves) to a
-    handful, which matters on dispatch-latency-bound interconnects. Returns
-    (step_fn, packed_state, unpack_fn); math is identical to
-    make_train_step."""
-    from .flat import make_packer
-
-    pack, unpack, total = make_packer(state)
-    packed = jax.device_put(pack(state), replicated(mesh))
-    bsh = batch_sharding(mesh)
-    rsh = replicated(mesh)
-
-    def step_fn(flat_state, batch: TrackletBatch, rng: jax.Array):
-        state = unpack(flat_state)
-
-        def loss_fn(params):
-            total_, aux = model.apply(
-                {"params": params}, batch, train=True,
-                rngs={"dropout": jax.random.fold_in(rng, state.step)})
-            return total_, aux
-
-        (loss, aux), grads = jax.value_and_grad(loss_fn, has_aux=True)(
-            state.params)
-        updates, opt_state = tx.update(grads, state.opt_state, state.params)
-        params = optax.apply_updates(state.params, updates)
-        new_state = TrainState(state.step + 1, params, opt_state)
-        aux = dict(aux, grad_norm=optax.global_norm(grads))
-        return pack(new_state), aux
-
-    fn = jax.jit(
-        step_fn,
-        in_shardings=(rsh, jax.tree_util.tree_map(lambda _: bsh,
-                                                  _batch_struct()), rsh),
-        out_shardings=(rsh, rsh),
-        donate_argnums=(0,),
-    )
-    return fn, packed, unpack
-
-
 def make_eval_step(model: OcOccNetWithLoss, mesh: Mesh):
     bsh = batch_sharding(mesh)
     rsh = replicated(mesh)

@@ -67,37 +67,6 @@ def test_sharded_matches_single_device():
                                float(aux1["grad_norm"]), rtol=2e-3)
 
 
-def test_flat_state_step_matches_regular():
-    from objectcentricocccompletion_tpu.parallel.flat import make_packer
-    from objectcentricocccompletion_tpu.parallel.train import (
-        make_flat_train_step)
-    cfg = tiny_config()
-    batch = synthetic_batch(cfg, batch_size=8, seed=5)
-    model, state_a, tx, _ = create_train_state(
-        cfg, jax.random.PRNGKey(0), batch, total_steps=100)
-    _, state_b, _, _ = create_train_state(
-        cfg, jax.random.PRNGKey(0), batch, total_steps=100)
-
-    # pack/unpack round-trip
-    pack, unpack, total = make_packer(state_a)
-    rt = unpack(pack(state_a))
-    for x, y in zip(jax.tree_util.tree_leaves(state_a),
-                    jax.tree_util.tree_leaves(rt)):
-        np.testing.assert_array_equal(np.asarray(x), np.asarray(y))
-    assert total > 1000
-
-    mesh = make_mesh()
-    rng = jax.random.PRNGKey(1)
-    step = make_train_step(model, tx, mesh)
-    fstep, packed, unpack2 = make_flat_train_step(model, tx, mesh, state_b)
-    _, aux_r = step(state_a, shard_batch(batch, mesh), rng)
-    packed2, aux_f = fstep(packed, shard_batch(batch, mesh), rng)
-    np.testing.assert_allclose(float(aux_r["loss"]), float(aux_f["loss"]),
-                               rtol=1e-5)
-    st2 = unpack2(packed2)
-    assert int(st2.step) == 1
-
-
 def test_dp_tp_2d_mesh_step():
     """DP x TP: wide kernels shard over the 'model' axis on a [4, 2] mesh;
     one step must run and match the replicated result."""

@@ -84,7 +84,34 @@ def cmd_occ_annotate(args):
             return pickle.load(f)
     get_raw_frame.segment = ""
 
+    workers = getattr(args, "workers", 1)
+    if workers > 1:
+        # host pool over SEGMENTS (the reference's mp.spawn worker pool,
+        # tools/occ/occ_annotate.py:649-671): re-exec this CLI once per
+        # shard; outputs are per-tracklet npz files so shards never collide
+        import subprocess
+        import sys as _sys
+        base = [_sys.executable, os.path.abspath(__file__), "occ_annotate",
+                "--gt-bin", args.gt_bin, "--infos", args.infos,
+                "--data-root", args.data_root, "--raw-root", args.raw_root,
+                "--out-dir", args.out_dir,
+                "--voxel-size", str(args.voxel_size),
+                "--min-track-len", str(args.min_track_len),
+                "--workers", "1", "--num-shards", str(workers)]
+        procs = [subprocess.Popen(base + ["--shard", str(i)])
+                 for i in range(workers)]
+        rcs = [p.wait() for p in procs]
+        if any(rcs):
+            raise SystemExit(f"annotation shard failed: {rcs}")
+        return
+
     tracklets = tracklets_from_bin(args.gt_bin)
+    if getattr(args, "num_shards", 1) > 1:
+        segs = sorted({t.segment_name for t in tracklets})
+        mine = {s for i, s in enumerate(segs)
+                if i % args.num_shards == args.shard}
+        tracklets = [t for t in tracklets if t.segment_name in mine]
+
     ann = OccAnnotator(
         lambda ts: get_points(get_raw_frame.segment, ts),
         get_raw_frame, args.out_dir, voxel_size=args.voxel_size,
@@ -126,6 +153,11 @@ def main():
     po.add_argument("--out-dir", required=True)
     po.add_argument("--voxel-size", type=float, default=0.2)
     po.add_argument("--min-track-len", type=int, default=10)
+    po.add_argument("--workers", type=int, default=1,
+                    help="host process pool over segments (reference runs "
+                         "32 workers / 8 GPUs)")
+    po.add_argument("--shard", type=int, default=0)
+    po.add_argument("--num-shards", type=int, default=1)
 
     args = p.parse_args()
     if args.cmd == "waymo_raw":
