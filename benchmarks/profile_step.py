@@ -25,6 +25,7 @@ def run_and_trace(log_dir):
 
     cfg = OcOccNetConfig(
         compute_dtype=os.environ.get("BENCH_DTYPE", "bfloat16"),
+        ln_dtype=os.environ.get("BENCH_LN", "auto"),
         batch_size=int(os.environ.get("BENCH_BATCH", "4")),
         use_pallas_sir=os.environ.get("BENCH_SIR", "0") == "1")
     mesh = make_mesh(jax.devices())

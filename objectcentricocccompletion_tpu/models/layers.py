@@ -3,6 +3,12 @@
 ``Mlp`` mirrors the reference ``build_mlp`` (``ops/sst/sst_ops.py:333-360``):
 hidden layers are ``Linear(bias=False) -> LayerNorm(eps) -> act -> dropout``;
 with ``is_head=True`` the final layer is a plain biased Linear.
+
+``LN_COMPUTE_DTYPE`` selects the LayerNorm computation dtype globally:
+fp32 (default, reference parity) or the activations' bf16 — the step
+profile attributes a large share of device time to the LN statistic
+reductions' fp32 converts + doubled HBM traffic, so bf16 LN is the main
+bandwidth knob (set via ``set_ln_dtype`` before building models).
 """
 from __future__ import annotations
 
@@ -13,6 +19,15 @@ import jax
 import jax.numpy as jnp
 
 LN_EPS = 1e-3
+_LN_DTYPE = [jnp.float32]
+
+
+def set_ln_dtype(dtype) -> None:
+    _LN_DTYPE[0] = jnp.dtype(dtype)
+
+
+def ln_dtype():
+    return _LN_DTYPE[0]
 
 
 def activation(name: str):
@@ -36,7 +51,7 @@ class Mlp(nn.Module):
                 x = nn.Dense(c, use_bias=True, dtype=self.dtype)(x)
             else:
                 x = nn.Dense(c, use_bias=False, dtype=self.dtype)(x)
-                x = nn.LayerNorm(epsilon=LN_EPS, dtype=jnp.float32)(
+                x = nn.LayerNorm(epsilon=LN_EPS, dtype=ln_dtype())(
                     x).astype(self.dtype)
                 x = act(x)
                 if self.dropout > 0:
@@ -58,7 +73,7 @@ class VfeLayer(nn.Module):
             x = nn.Dropout(self.dropout, deterministic=not train)(x)
         x = nn.Dense(self.out_channels, use_bias=False,
                      dtype=self.dtype)(x.astype(self.dtype))
-        x = nn.LayerNorm(epsilon=LN_EPS, dtype=jnp.float32)(x)
+        x = nn.LayerNorm(epsilon=LN_EPS, dtype=ln_dtype())(x)
         return activation(self.act)(x).astype(self.dtype)
 
 

@@ -18,7 +18,7 @@ import flax.linen as nn
 import jax
 import jax.numpy as jnp
 
-from .layers import LN_EPS, Mlp, activation, nerf_position_encoding
+from .layers import LN_EPS, ln_dtype, Mlp, activation, nerf_position_encoding
 
 
 class OccDecoder(nn.Module):
@@ -43,7 +43,7 @@ class OccDecoder(nn.Module):
         pos0 = nn.Dense(c0, use_bias=False, name="in_pos",
                         dtype=self.dtype)(pos.astype(self.dtype))
         x = lat0[..., None, :] + pos0
-        x = nn.LayerNorm(epsilon=LN_EPS, dtype=jnp.float32,
+        x = nn.LayerNorm(epsilon=LN_EPS, dtype=ln_dtype(),
                          name="in_norm")(x).astype(self.dtype)
         x = activation(self.act)(x)
         if self.dropout > 0:

@@ -68,7 +68,9 @@ class OcOccNet(nn.Module):
         import jax.numpy as _jnp
         dt = _jnp.dtype(cfg.compute_dtype)
         self.with_occ = cfg.variant == "ococc"
-        self.roi_encoder = SIREncoder(
+        Encoder = (nn.remat(SIREncoder)
+                   if getattr(cfg, "remat_sir", False) else SIREncoder)
+        self.roi_encoder = Encoder(
             num_blocks=cfg.num_blocks, feat_channels=cfg.feat_channels,
             rel_mlp_hidden=cfg.rel_mlp_hidden,
             xyz_normalizer=cfg.xyz_normalizer, geo_input=True, act=cfg.act,
@@ -82,7 +84,7 @@ class OcOccNet(nn.Module):
                                 is_head=True, act=cfg.act,
                                 dropout=cfg.reg_dropout, dtype=dt)
             return
-        self.ae_encoder = SIREncoder(
+        self.ae_encoder = Encoder(
             num_blocks=cfg.num_blocks, feat_channels=cfg.feat_channels,
             rel_mlp_hidden=cfg.rel_mlp_hidden,
             xyz_normalizer=cfg.ae_xyz_normalizer, geo_input=False,
@@ -130,9 +132,13 @@ class OcOccNet(nn.Module):
         f_cluster = jnp.concatenate(
             [pool.local_xyz, pool.boundary_offset,
              pool.is_in_margin[..., None], pool.rel_xyz], axis=-1)  # 13-d
+        # under remat the (non-array) train flag must not enter the
+        # checkpointed call; SIR carries no dropout in any shipped config
+        enc_kw = {} if getattr(cfg, "remat_sir", False) else \
+            {"train": train}
         _, roi_feats = self.roi_encoder(
             flat(pts_xyz), flat(enc_feats), flat(pool.mask),
-            flat(f_cluster), train=train)
+            flat(f_cluster), **enc_kw)
         roi_feats = roi_feats.reshape(B, L, -1)
         roi_feats = jnp.where(nonempty[..., None], roi_feats, 0.0)
 
@@ -152,7 +158,7 @@ class OcOccNet(nn.Module):
             [pts_feats[..., :2], pool.boundary_offset,
              pool.is_in_margin[..., None], vox_centers], axis=-1)  # 12-d
         _, ae_feats = self.ae_encoder(
-            flat(pool.local_xyz), flat(ae_in), flat(pool.mask), train=train)
+            flat(pool.local_xyz), flat(ae_in), flat(pool.mask), **enc_kw)
         ae_feats = ae_feats.reshape(B, L, -1)
         ae_feats = jnp.where(nonempty[..., None], ae_feats, 0.0)
 

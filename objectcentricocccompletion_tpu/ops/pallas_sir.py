@@ -43,8 +43,8 @@ from jax.experimental.pallas import tpu as pltpu
 LN_EPS = 1e-3
 _NEG = -1e30
 PARAMS_PER_BLOCK = 15
-FWD_GROUP_BLOCK = 4      # groups per forward grid step
-BWD_GROUP_BLOCK = 1      # groups per backward grid step (VMEM-bound)
+FWD_GROUP_BLOCK = 1      # >1 hangs the remote Mosaic compiler in this env
+BWD_GROUP_BLOCK = 1
 _VMEM_LIMIT = 120 * 1024 * 1024
 
 

@@ -73,8 +73,19 @@ def param_shardings(params, mesh: Mesh, min_dim: int = 1024):
     return jax.tree_util.tree_map(rule, params)
 
 
+def apply_ln_dtype(cfg) -> None:
+    """Honor cfg.ln_dtype ("auto" = follow compute_dtype) for every
+    LayerNorm built afterwards."""
+    from ..models.layers import set_ln_dtype
+    ln = getattr(cfg, "ln_dtype", "float32")
+    if ln == "auto":
+        ln = getattr(cfg, "compute_dtype", "float32")
+    set_ln_dtype(ln)
+
+
 def create_train_state(cfg: OcOccNetConfig, rng: jax.Array,
                        sample_batch: TrackletBatch, total_steps: int):
+    apply_ln_dtype(cfg)
     model = OcOccNetWithLoss(cfg)
     variables = model.init({"params": rng}, sample_batch, train=False)
     params = variables["params"]

@@ -44,9 +44,18 @@ def main():
                    help="tiny config for smoke runs")
     p.add_argument("--seq-window", type=int, default=2,
                    help="frames per window (fsdpp)")
+    p.add_argument("--ctrl-class", choices=["veh", "ped", "cyc"],
+                   default="veh",
+                   help="CTRL class variant (ctrl_veh_24e / ctrl_ped_24e / "
+                        "ctrl_cyc_12e)")
+    p.add_argument("--fixed-ae", action="store_true",
+                   help="freeze the occupancy auto-encoder (OnlyGrad "
+                        "optimizer mode)")
     p.add_argument("--gt-sample", type=int, default=0,
                    help="GT copy-paste augmentation: target objects per "
                         "class per frame (0 = off)")
+    p.add_argument("--gt-db-cache", default=None,
+                   help="pickle cache for the GT copy-paste database")
     p.add_argument("--gt-db-min-points", type=int, default=8,
                    help="min interior points for a GT crop to enter the "
                         "sampling database")
@@ -77,11 +86,25 @@ def main():
 
         cfg = tiny_config() if args.tiny else OcOccNetConfig()
         if args.model == "ctrl":
-            cfg = dataclasses.replace(cfg, variant="ctrl")
+            from objectcentricocccompletion_tpu.configs.ococcnet_config \
+                import ctrl_cyc_config, ctrl_ped_config, ctrl_veh_config
+            base = {"veh": ctrl_veh_config, "ped": ctrl_ped_config,
+                    "cyc": ctrl_cyc_config}[args.ctrl_class]()
+            if args.tiny:
+                cfg = dataclasses.replace(
+                    cfg, variant="ctrl", class_names=base.class_names,
+                    cls_pos_thr=base.cls_pos_thr,
+                    cls_neg_thr=base.cls_neg_thr,
+                    corner_loss_weight=base.corner_loss_weight)
+            else:
+                cfg = base
+        if args.fixed_ae:
+            cfg = dataclasses.replace(cfg, fixed_ae=True)
         ds = TrackletDataset(
             proposals_file=args.proposals,
             gt_candidates_file=args.gt_candidates,
-            pose_file=args.poses, occ_anno_root=args.occ_root, cfg=cfg)
+            pose_file=args.poses, occ_anno_root=args.occ_root, cfg=cfg,
+            class_names=cfg.class_names)
         print(f"dataset: {len(ds)} tracklets")
         train(cfg, ds, args.work_dir, total_steps=args.total_steps,
               ckpt_interval=args.ckpt_interval, seed=args.seed,
@@ -104,8 +127,9 @@ def main():
     if args.gt_sample > 0:
         from objectcentricocccompletion_tpu.data.dbsampler import (
             DBSampler, GTDatabase)
-        db = GTDatabase.build_from_frames(
-            ds, min_points=args.gt_db_min_points, max_frames=2000)
+        db = GTDatabase.build_or_load(
+            ds, cache_path=args.gt_db_cache,
+            min_points=args.gt_db_min_points, max_frames=2000)
         ds.db_sampler = DBSampler(
             db, {lab: args.gt_sample for lab in db.entries}, seed=args.seed)
         print(f"gt database: {len(db)} crops, "
