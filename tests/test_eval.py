@@ -248,3 +248,31 @@ def test_evaluator_online_tuning_runs(tmp_path):
     # tuning changes the decoded occupancy (untrained net -> any movement)
     assert mt["num_tracklets"] == m0["num_tracklets"]
     assert np.isfinite(mt["occ/overall_iou"])
+
+
+def test_evaluator_tta_runs(tmp_path):
+    """--tta path: double-flip TTA produces a full result set; identity
+    symmetry keeps box sizes identical to the plain run on a symmetric
+    model init (smoke: shapes + finiteness + bin parity in count)."""
+    cfg = tiny_config()
+    paths = write_synthetic_dataset(str(tmp_path / "ds"), num_tracklets=2,
+                                    track_len=10, seed=6)
+    ds = TrackletDataset(cfg=cfg, min_tracklet_points=10, training=False,
+                         min_tracklet_length=1, **paths)
+    model = OcOccNetWithLoss(cfg)
+    from objectcentricocccompletion_tpu.data.loader import TrainLoader
+    ds_train = TrackletDataset(cfg=cfg, min_tracklet_points=10, **paths)
+    batch = next(TrainLoader(ds_train, batch_size=1))
+    params = model.init({"params": jax.random.PRNGKey(0)}, batch,
+                        train=False)["params"]
+    m0 = Evaluator(model, params, ds, cfg).run(
+        str(tmp_path / "plain"), eval_waymo=False)
+    mt = Evaluator(model, params, ds, cfg, tta=True).run(
+        str(tmp_path / "tta"), eval_waymo=False)
+    assert mt["num_tracklets"] == m0["num_tracklets"]
+    b0 = read_bin(m0["results_bin"])
+    bt = read_bin(mt["results_bin"])
+    assert len(b0) == len(bt)
+    for r in bt:
+        vals = [r["box"][k] for k in sorted(r["box"])]
+        assert np.isfinite(np.asarray(vals, np.float64)).all()
