@@ -37,7 +37,8 @@ def main():
         ln_dtype=os.environ.get("BENCH_LN", "auto"),
         batch_size=int(os.environ.get("BENCH_BATCH", "4")),
         use_pallas_sir=os.environ.get("BENCH_SIR", "0") == "1",
-        remat_sir=os.environ.get("BENCH_REMAT", "0") == "1")
+        remat_sir=os.environ.get("BENCH_REMAT", "0") == "1",
+        fused_ln=os.environ.get("BENCH_FUSED_LN", "0") == "1")
     mesh = make_mesh(jax.devices())
     n_dev = mesh.devices.size
     global_batch = cfg.batch_size * n_dev

@@ -20,6 +20,7 @@ import jax.numpy as jnp
 
 LN_EPS = 1e-3
 _LN_DTYPE = [jnp.float32]
+_FUSED_LN = [False]
 
 
 def set_ln_dtype(dtype) -> None:
@@ -28,6 +29,36 @@ def set_ln_dtype(dtype) -> None:
 
 def ln_dtype():
     return _LN_DTYPE[0]
+
+
+def set_fused_ln(on: bool) -> None:
+    """Route subsequently-built LayerNorms through the fused Pallas kernel
+    (``ops/pallas_ln.py``) — single-pass statistics/backward instead of
+    XLA's multiple reduce fusions. TPU-only; ignored elsewhere."""
+    _FUSED_LN[0] = bool(on)
+
+
+class FusedLayerNorm(nn.Module):
+    """Drop-in ``nn.LayerNorm`` replacement over the fused Pallas kernel.
+    Parameter names/shapes match ``nn.LayerNorm`` (scale, bias), so
+    checkpoints are interchangeable between the two paths."""
+    epsilon: float = LN_EPS
+
+    @nn.compact
+    def __call__(self, x):
+        from ..ops.pallas_ln import fused_layernorm
+        c = x.shape[-1]
+        scale = self.param("scale", nn.initializers.ones, (c,))
+        bias = self.param("bias", nn.initializers.zeros, (c,))
+        return fused_layernorm(x, scale, bias, self.epsilon)
+
+
+def make_ln(name: str, epsilon: float = LN_EPS):
+    """LayerNorm factory honoring the fused-kernel and stats-dtype flags.
+    Explicit names keep the parameter tree identical across modes."""
+    if _FUSED_LN[0] and jax.default_backend() == "tpu":
+        return FusedLayerNorm(epsilon=epsilon, name=name)
+    return nn.LayerNorm(epsilon=epsilon, dtype=ln_dtype(), name=name)
 
 
 def activation(name: str):
@@ -51,8 +82,7 @@ class Mlp(nn.Module):
                 x = nn.Dense(c, use_bias=True, dtype=self.dtype)(x)
             else:
                 x = nn.Dense(c, use_bias=False, dtype=self.dtype)(x)
-                x = nn.LayerNorm(epsilon=LN_EPS, dtype=ln_dtype())(
-                    x).astype(self.dtype)
+                x = make_ln(f"LayerNorm_{i}")(x).astype(self.dtype)
                 x = act(x)
                 if self.dropout > 0:
                     x = nn.Dropout(self.dropout, deterministic=not train)(x)
@@ -73,7 +103,7 @@ class VfeLayer(nn.Module):
             x = nn.Dropout(self.dropout, deterministic=not train)(x)
         x = nn.Dense(self.out_channels, use_bias=False,
                      dtype=self.dtype)(x.astype(self.dtype))
-        x = nn.LayerNorm(epsilon=LN_EPS, dtype=ln_dtype())(x)
+        x = make_ln("LayerNorm_0")(x)
         return activation(self.act)(x).astype(self.dtype)
 
 

@@ -18,7 +18,8 @@ import flax.linen as nn
 import jax
 import jax.numpy as jnp
 
-from .layers import LN_EPS, ln_dtype, Mlp, activation, nerf_position_encoding
+from .layers import (LN_EPS, Mlp, activation, make_ln,
+                     nerf_position_encoding)
 
 
 class OccDecoder(nn.Module):
@@ -34,7 +35,7 @@ class OccDecoder(nn.Module):
                  train: bool = False) -> jax.Array:
         """latent: [..., D]; queries: [..., K, 3] box-local query points.
         Returns occupancy logits [..., K]."""
-        latent = nn.LayerNorm(epsilon=LN_EPS, name="ln")(latent)
+        latent = make_ln("ln")(latent)
         pos = nerf_position_encoding(queries, self.num_freqs)
 
         c0 = self.mlp_dims[0]
@@ -43,8 +44,7 @@ class OccDecoder(nn.Module):
         pos0 = nn.Dense(c0, use_bias=False, name="in_pos",
                         dtype=self.dtype)(pos.astype(self.dtype))
         x = lat0[..., None, :] + pos0
-        x = nn.LayerNorm(epsilon=LN_EPS, dtype=ln_dtype(),
-                         name="in_norm")(x).astype(self.dtype)
+        x = make_ln("in_norm")(x).astype(self.dtype)
         x = activation(self.act)(x)
         if self.dropout > 0:
             x = nn.Dropout(self.dropout, deterministic=not train)(x)

@@ -112,7 +112,10 @@ class WindowMSALayer(nn.Module):
         v_f = nn.Dense(d, name="v")(tokens)
         # the fused kernel runs on TPU only; other backends (CPU tests)
         # take the einsum path automatically
-        if self.use_pallas and jax.default_backend() == "tpu":
+        # honor a jax.default_device(cpu) context (CPU-offloaded init)
+        _dd = jax.config.jax_default_device
+        if (self.use_pallas and jax.default_backend() == "tpu"
+                and (_dd is None or _dd.platform == "tpu")):
             from ..ops.pallas_attention import pallas_window_attention
             out = pallas_window_attention(q_f, k_f, v_f, mask, h)
         else:

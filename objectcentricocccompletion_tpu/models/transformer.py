@@ -20,7 +20,7 @@ import flax.linen as nn
 import jax
 import jax.numpy as jnp
 
-from .layers import LN_EPS, ln_dtype, activation
+from .layers import LN_EPS, activation, make_ln
 
 
 class CausalSelfAttention(nn.Module):
@@ -69,14 +69,12 @@ class TemporalEncoderLayer(nn.Module):
                                    dtype=self.dtype,
                                    name="self_attn")(qk, qk, src, mask,
                                                      train=train)
-        src = nn.LayerNorm(epsilon=LN_EPS, dtype=ln_dtype(),
-                           name="norm1")(src + attn)
+        src = make_ln("norm1")(src + attn)
         ffn = nn.Dense(self.ffn_dim, name="linear1",
                        dtype=self.dtype)(src.astype(self.dtype))
         ffn = activation(self.act)(ffn)
         ffn = nn.Dense(src.shape[-1], name="linear2", dtype=self.dtype)(ffn)
-        return nn.LayerNorm(epsilon=LN_EPS, dtype=ln_dtype(),
-                            name="norm2")(src + ffn)
+        return make_ln("norm2")(src + ffn)
 
 
 class TemporalEncoder(nn.Module):

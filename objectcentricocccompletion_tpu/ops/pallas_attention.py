@@ -46,13 +46,16 @@ def _attn_kernel(q_ref, k_ref, v_ref, mask_ref, o_ref, *, num_heads: int):
                            / denom).astype(o_ref.dtype)
 
 
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5))
 def pallas_window_attention(q: jax.Array, k: jax.Array, v: jax.Array,
                             mask: jax.Array, num_heads: int,
                             interpret: bool = False) -> jax.Array:
     """q/k/v: [W, T, C]; mask: [W, T] bool -> [W, T, C].
 
     Grid = one program per window; each window's q/k/v/mask block lives in
-    VMEM for the whole computation.
+    VMEM for the whole computation. Differentiable: the backward is the
+    einsum composition's VJP (recompute — the fused forward saves no
+    probabilities), so SST trains through the fused path on TPU.
     """
     W, T, C = q.shape
     mask_f = mask[..., None].astype(q.dtype)
@@ -70,6 +73,23 @@ def pallas_window_attention(q: jax.Array, k: jax.Array, v: jax.Array,
         out_shape=jax.ShapeDtypeStruct((W, T, C), q.dtype),
         interpret=interpret,
     )(q, k, v, mask_f)
+
+
+def _pwa_fwd(q, k, v, mask, num_heads, interpret):
+    out = pallas_window_attention(q, k, v, mask, num_heads, interpret)
+    return out, (q, k, v, mask)
+
+
+def _pwa_bwd(num_heads, interpret, res, g):
+    q, k, v, mask = res
+    _, vjp = jax.vjp(
+        lambda q_, k_, v_: jnp_window_attention(q_, k_, v_, mask,
+                                                num_heads), q, k, v)
+    dq, dk, dv = vjp(g)
+    return dq, dk, dv, None
+
+
+pallas_window_attention.defvjp(_pwa_fwd, _pwa_bwd)
 
 
 def jnp_window_attention(q: jax.Array, k: jax.Array, v: jax.Array,

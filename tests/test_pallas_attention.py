@@ -60,3 +60,29 @@ def test_sst_with_pallas_flag_matches_einsum_path():
         out1 = m1.apply(v, points, mask)
     np.testing.assert_allclose(np.asarray(out0["cls"]),
                                np.asarray(out1["cls"]), atol=2e-4)
+
+
+def test_pallas_attention_gradients():
+    """The fused attention is differentiable (custom VJP over the einsum
+    composition) — grads match the jnp path. Guards SST TRAINING on TPU."""
+    import jax
+    rng = np.random.RandomState(3)
+    W, T, C, H = 3, 16, 32, 4
+    q = jnp.asarray(rng.randn(W, T, C).astype(np.float32))
+    k = jnp.asarray(rng.randn(W, T, C).astype(np.float32))
+    v = jnp.asarray(rng.randn(W, T, C).astype(np.float32))
+    mask = jnp.asarray(rng.rand(W, T) > 0.3).at[:, 0].set(True)
+    w = jnp.asarray(rng.randn(W, T, C).astype(np.float32))
+
+    def loss_p(q_, k_, v_):
+        return jnp.sum(pallas_window_attention(q_, k_, v_, mask, H, True)
+                       * w)
+
+    def loss_j(q_, k_, v_):
+        return jnp.sum(jnp_window_attention(q_, k_, v_, mask, H) * w)
+
+    gp = jax.grad(loss_p, argnums=(0, 1, 2))(q, k, v)
+    gj = jax.grad(loss_j, argnums=(0, 1, 2))(q, k, v)
+    for a, b in zip(gp, gj):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-4,
+                                   rtol=1e-4)
