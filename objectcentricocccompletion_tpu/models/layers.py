@@ -55,8 +55,13 @@ class FusedLayerNorm(nn.Module):
 
 def make_ln(name: str, epsilon: float = LN_EPS):
     """LayerNorm factory honoring the fused-kernel and stats-dtype flags.
-    Explicit names keep the parameter tree identical across modes."""
-    if _FUSED_LN[0] and jax.default_backend() == "tpu":
+    Explicit names keep the parameter tree identical across modes (the
+    fused module's params mirror nn.LayerNorm's), so a CPU-offloaded init
+    building the plain path feeds the fused path on the chip directly."""
+    dd = jax.config.jax_default_device
+    on_tpu = (jax.default_backend() == "tpu"
+              and (dd is None or dd.platform == "tpu"))
+    if _FUSED_LN[0] and on_tpu:
         return FusedLayerNorm(epsilon=epsilon, name=name)
     return nn.LayerNorm(epsilon=epsilon, dtype=ln_dtype(), name=name)
 
