@@ -27,7 +27,8 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 LN_EPS = 1e-3
-_TARGET_BLOCK_ELEMS = 512 * 1024     # rows-per-step sizing
+_TARGET_BLOCK_ELEMS = 128 * 1024     # rows-per-step sizing
+_VMEM_LIMIT = 64 * 1024 * 1024
 
 
 def _rows_per_step(n_rows: int, c: int) -> int:
@@ -109,6 +110,7 @@ def _fwd_call(x2, scale, bias, eps, interpret):
         out_shape=(jax.ShapeDtypeStruct((npad, c), x2.dtype),
                    jax.ShapeDtypeStruct((npad, 1), jnp.float32),
                    jax.ShapeDtypeStruct((npad, 1), jnp.float32)),
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=_VMEM_LIMIT),
         interpret=interpret,
     )(xp, s2, b2)
     return y[:n], mu[:n], rstd[:n]
@@ -152,6 +154,7 @@ def _fln_bwd(eps, interpret, res, dy):
         out_shape=(jax.ShapeDtypeStruct((npad, c), dy2.dtype),
                    jax.ShapeDtypeStruct((1, c), jnp.float32),
                    jax.ShapeDtypeStruct((1, c), jnp.float32)),
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=_VMEM_LIMIT),
         interpret=interpret,
     )(xp, s2, mup, rsp, dyp)
     return (dx[:n].reshape(shape), ds[0].astype(scale.dtype),
