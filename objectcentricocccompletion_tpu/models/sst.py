@@ -49,6 +49,26 @@ class SSTConfig:
     # window shapes; automatically bypassed off-TPU
     use_pallas_attention: bool = True
 
+    # two-level drop-level batching (sst_input_layer_v2.drop_voxel):
+    # windows with <= small_capacity tokens attend at the small budget —
+    # T^2 attention cost stops charging sparse windows for the full 144
+    # tokens. 0 (or >= capacity) disables (single bucket).
+    small_capacity: int = 32
+    # budgets per level (None: small = max_windows, large = max_windows/4;
+    # sparse windows dominate real scans)
+    max_small_windows: int | None = None
+    max_large_windows: int | None = None
+
+    @property
+    def small_windows_budget(self) -> int:
+        return (self.max_small_windows if self.max_small_windows is not None
+                else self.max_windows)
+
+    @property
+    def large_windows_budget(self) -> int:
+        return (self.max_large_windows if self.max_large_windows is not None
+                else max(self.max_windows // 4, 1))
+
     @property
     def grid_shape(self):
         import numpy as np
@@ -160,26 +180,36 @@ class SST(nn.Module):
         x = self.input_proj(vfeat)
         x = jnp.where(vres.voxel_valid[:, None], x, 0.0)
 
+        two_level = 0 < c.small_capacity < c.capacity
         parts, pos = [], []
         for s in (False, True):
             p = win.partition(vres.coords, vres.voxel_valid, gs,
                               c.window_shape, s, c.max_windows, c.capacity)
-            parts.append(p)
             pe = window_pos_embed(p.coors_in_win, c.window_shape, c.d_model,
                                   c.pos_temperature)
-            pw, _ = win.flat_to_window(pe, p, c.max_windows, c.capacity)
-            pos.append(pw)
+            if two_level:
+                ps, pl = win.split_by_occupancy(
+                    p, c.max_windows, c.small_capacity,
+                    c.small_windows_budget, c.large_windows_budget)
+                levels = ((ps, c.small_windows_budget, c.small_capacity),
+                          (pl, c.large_windows_budget, c.capacity))
+            else:
+                levels = ((p, c.max_windows, c.capacity),)
+            parts.append(levels)
+            pos.append([win.flat_to_window(pe, lp, mw, cap)[0]
+                        for lp, mw, cap in levels])
 
         for i, layer in enumerate(self.layers):
             s = i % 2
-            p = parts[s]
-            tokens, tmask = win.flat_to_window(x, p, c.max_windows,
-                                               c.capacity)
-            tokens = layer(tokens, pos[s], tmask)
-            out = win.window_to_flat(tokens, p, c.max_voxels)
-            # voxels dropped by this partition keep their previous feature
-            kept = (p.win_of_voxel >= 0)[:, None]
-            x = jnp.where(kept, out, x)
+            out_x = x
+            for li, (lp, mw, cap) in enumerate(parts[s]):
+                tokens, tmask = win.flat_to_window(x, lp, mw, cap)
+                tokens = layer(tokens, pos[s][li], tmask)
+                out = win.window_to_flat(tokens, lp, c.max_voxels)
+                kept = (lp.win_of_voxel >= 0)[:, None]
+                out_x = jnp.where(kept, out, out_x)
+            # voxels dropped by every level keep their previous feature
+            x = out_x
 
         # recover BEV canvas (sst_v2.recover_bev)
         canvas = jnp.zeros((gs[0], gs[1], c.d_model), x.dtype)

@@ -91,6 +91,51 @@ def partition(coords: jax.Array, valid: jax.Array, sparse_shape,
     return WindowPartition(win_of_voxel, rank_in_win, inwin, num_windows)
 
 
+def window_counts(part: WindowPartition, max_windows: int) -> jax.Array:
+    """[max_windows] token count per compact window slot."""
+    ok = part.win_of_voxel >= 0
+    seg = jnp.where(ok, part.win_of_voxel, max_windows)
+    return jax.ops.segment_sum(ok.astype(jnp.int32), seg,
+                               num_segments=max_windows + 1)[:max_windows]
+
+
+def split_by_occupancy(part: WindowPartition, max_windows: int,
+                       small_capacity: int, max_small: int,
+                       max_large: int) -> tuple[WindowPartition,
+                                                WindowPartition]:
+    """Two-level drop-level batching (``sst_input_layer_v2.drop_voxel``):
+    windows with <= ``small_capacity`` tokens batch at the small capacity,
+    the rest at the full capacity — attention cost scales with T^2, so the
+    (typically dominant) sparse windows stop paying for the dense budget.
+
+    Returns (small, large) partitions with compacted window slots."""
+    counts = window_counts(part, max_windows)
+    occupied = counts > 0
+    is_small = occupied & (counts <= small_capacity)
+    is_large = occupied & ~is_small
+    small_slot = jnp.cumsum(is_small.astype(jnp.int32)) - 1
+    large_slot = jnp.cumsum(is_large.astype(jnp.int32)) - 1
+
+    w = part.win_of_voxel
+    safe = jnp.clip(w, 0, max_windows - 1)
+    valid = w >= 0
+
+    in_small = valid & is_small[safe] & (small_slot[safe] < max_small)
+    win_small = jnp.where(in_small, small_slot[safe], -1).astype(jnp.int32)
+    rank_small = jnp.where(in_small, part.rank_in_win, -1)
+
+    in_large = valid & is_large[safe] & (large_slot[safe] < max_large)
+    win_large = jnp.where(in_large, large_slot[safe], -1).astype(jnp.int32)
+    rank_large = jnp.where(in_large, part.rank_in_win, -1)
+
+    n_small = jnp.minimum(jnp.sum(is_small), max_small).astype(jnp.int32)
+    n_large = jnp.minimum(jnp.sum(is_large), max_large).astype(jnp.int32)
+    return (WindowPartition(win_small, rank_small, part.coors_in_win,
+                            n_small),
+            WindowPartition(win_large, rank_large, part.coors_in_win,
+                            n_large))
+
+
 def flat_to_window(feats: jax.Array, part: WindowPartition,
                    max_windows: int, capacity: int
                    ) -> tuple[jax.Array, jax.Array]:

@@ -113,3 +113,59 @@ def test_anchor_assignment_recovers_gt():
                                jnp.asarray([True]), acfg)
     assert bool(pos[0]) and not bool(pos[1])
     assert bool(neg[1])
+
+
+def test_split_by_occupancy():
+    """Two-level drop-level batching: window token sets are preserved
+    exactly across the (small, large) split."""
+    from objectcentricocccompletion_tpu.ops import window as win
+    rng = np.random.RandomState(0)
+    V = 256
+    coords = rng.randint(0, 16, (V, 3)).astype(np.int32)
+    coords[:, 2] = 0
+    valid = rng.rand(V) > 0.1
+    p = win.partition(jnp.asarray(coords), jnp.asarray(valid),
+                      (16, 16, 1), (4, 4, 1), False, 64, 16)
+    counts = np.asarray(win.window_counts(p, 64))
+    ps, pl = win.split_by_occupancy(p, 64, 4, 64, 64)
+    wv = np.asarray(p.win_of_voxel)
+    sv = np.asarray(ps.win_of_voxel)
+    lv = np.asarray(pl.win_of_voxel)
+    for i in range(V):
+        if wv[i] < 0:
+            assert sv[i] < 0 and lv[i] < 0
+        elif counts[wv[i]] <= 4:
+            assert sv[i] >= 0 and lv[i] < 0
+        else:
+            assert lv[i] >= 0 and sv[i] < 0
+    # ranks preserved within each level
+    assert (np.asarray(ps.rank_in_win)[sv >= 0]
+            == np.asarray(p.rank_in_win)[sv >= 0]).all()
+    assert int(ps.num_windows) + int(pl.num_windows) \
+        == int((counts > 0).sum())
+
+
+def test_sst_two_level_matches_single_level():
+    """Attention is permutation/padding invariant: the two-level batched
+    SST must produce the SAME features as the single-bucket path (windows
+    below the small budget attend identically at either capacity)."""
+    import dataclasses
+    from objectcentricocccompletion_tpu.models.sst import SST
+    cfg1 = dataclasses.replace(tiny_sst_config(), small_capacity=0)
+    cfg2 = dataclasses.replace(tiny_sst_config(), small_capacity=4,
+                               max_small_windows=64, max_large_windows=64)
+    rng = np.random.RandomState(1)
+    n = cfg1.max_points
+    pts = np.zeros((n, 5), np.float32)
+    m = n // 2
+    pts[:m, :3] = rng.uniform(-9, 9, (m, 3))
+    pts[:m, 2] = rng.uniform(-1.5, 3.5, m)
+    pts[:m, 3:] = rng.rand(m, 2)
+    mask = np.arange(n) < m
+    pts, mask = jnp.asarray(pts), jnp.asarray(mask)
+    m1 = SST(cfg1)
+    v = m1.init(jax.random.PRNGKey(0), pts, mask)
+    out1 = m1.apply(v, pts, mask)
+    out2 = SST(cfg2).apply(v, pts, mask)
+    np.testing.assert_allclose(np.asarray(out1), np.asarray(out2),
+                               atol=2e-5, rtol=2e-5)
