@@ -106,6 +106,11 @@ class FSDConfig:
     # virtual voxels (single_stage_fsd_v2.py:37)
     use_clustering: bool = True
     virtual_proj_hidden: Tuple[int, ...] = (64, 64)   # FSDv2 projector
+    # FSDv2 virtual-voxel grid + mixer (virtual_point_projector /
+    # VirtualVoxelMixer, single_stage_fsd_v2.py:85-230)
+    virtual_voxel_size: Tuple[float, float, float] = (0.4, 0.4, 0.4)
+    max_virtual_voxels: int = 8192
+    virtual_mixer_channels: int = 64
 
     @property
     def num_classes(self) -> int:
@@ -137,7 +142,9 @@ def tiny_fsd_config(num_classes: int = 3) -> FSDConfig:
         connected_dist=(0.6, 0.2, 0.4)[:num_classes],
         max_clusters_per_class=16, max_cluster_voxels=128,
         sir_blocks=2, sir_channels=(32, 32), rel_mlp_hidden=(8, 16),
-        shared_mlp=(64,), head_hidden=32)
+        shared_mlp=(64,), head_hidden=32,
+        virtual_voxel_size=(0.8, 0.8, 1.2), max_virtual_voxels=1024,
+        virtual_mixer_channels=16, virtual_proj_hidden=(16, 16))
 
 
 class SparseUNet(nn.Module):
@@ -288,6 +295,10 @@ class FSD(nn.Module):
         if not c.use_clustering:
             self.virtual_proj = Mlp(tuple(c.virtual_proj_hidden),
                                     act="gelu")
+            self.ori_proj = Mlp(tuple(c.virtual_proj_hidden), act="gelu")
+            from .sparse_encoder import SubMConv
+            self.mixer1 = SubMConv(c.virtual_mixer_channels, name="mixer1")
+            self.mixer2 = SubMConv(c.virtual_mixer_channels, name="mixer2")
 
     def segment(self, points, mask):
         """Stage 1: per-point fg logits [N, ncls] + votes [N, ncls, 3]."""
@@ -337,18 +348,13 @@ class FSD(nn.Module):
                                                        0]
             vox_ok = cres.voxel_valid & (counts >= c.min_points)
 
-            if c.use_clustering:
-                vmean = vx.scatter_to_voxels(centers, cres.point2voxel,
-                                             c.max_cluster_voxels, "mean")
-                win = int(np.ceil(c.connected_dist[cls_id]
-                                  / min(vsize[0], vsize[1]))) + 1
-                vox_labels = cl.connected_components_dist(
-                    cres.coords, vox_ok, cgrid, vmean,
-                    c.connected_dist[cls_id], window_radius=min(win, 4))
-            else:     # FSDv2: every occupied voxel is a virtual instance
-                vox_labels = jnp.where(
-                    vox_ok,
-                    jnp.arange(cres.coords.shape[0], dtype=jnp.int32), -1)
+            vmean = vx.scatter_to_voxels(centers, cres.point2voxel,
+                                         c.max_cluster_voxels, "mean")
+            win = int(np.ceil(c.connected_dist[cls_id]
+                              / min(vsize[0], vsize[1]))) + 1
+            vox_labels = cl.connected_components_dist(
+                cres.coords, vox_ok, cgrid, vmean,
+                c.connected_dist[cls_id], window_radius=min(win, 4))
             vox_labels, _ = cl.compact_labels(vox_labels, Kc)
             pt_label = jnp.where(
                 cres.point2voxel >= 0,
@@ -362,11 +368,118 @@ class FSD(nn.Module):
         return (jnp.stack(fg_idx_list), jnp.stack(label_list),
                 jnp.stack(centers_list))
 
+    def _virtual_voxels(self, points, seg_logits, votes, pv, pfeat):
+        """FSDv2 feature path (``single_stage_fsd_v2.extract_feat``):
+        vote-shifted VIRTUAL points (projected features) union the original
+        points (ori_proj features), voxelize at the virtual voxel size, mix
+        through two submanifold convs, and every voxel containing a class-c
+        virtual point becomes a class-c instance with the voxel center as
+        its base point.
+
+        Returns (cluster_feats [C, Dm], cluster_xyz [C, 3],
+        cluster_valid [C])."""
+        c = self.cfg
+        ncls = c.num_classes
+        Kc = c.max_clusters_per_class
+        C = c.max_clusters
+        V = c.max_virtual_voxels
+        xyz = points[:, :3]
+
+        # per-class foreground virtual points (sample() semantics)
+        idx_list, ok_list, ctr_list, cls_list = [], [], [], []
+        for cls_id in range(ncls):
+            score = jax.nn.sigmoid(seg_logits[:, cls_id])
+            score = jnp.where(pv, score, -1.0)
+            top, fg_idx = jax.lax.top_k(score, c.max_fg_per_class)
+            idx_list.append(fg_idx)
+            ok_list.append(top > c.seg_score_thresh[cls_id])
+            ctr_list.append(xyz[fg_idx] + votes[fg_idx, cls_id])
+            cls_list.append(jnp.full((c.max_fg_per_class,), cls_id,
+                                     jnp.int32))
+        v_idx = jnp.concatenate(idx_list)
+        v_ok = jnp.concatenate(ok_list)
+        v_ctr = jnp.concatenate(ctr_list)
+        v_cls = jnp.concatenate(cls_list)
+
+        # virtual features: proj([feats, offset/10, logits, extra]);
+        # original features: ori_proj(feats)
+        offset = (v_ctr - xyz[v_idx]) / 10.0
+        vfeat = self.virtual_proj(jnp.concatenate(
+            [pfeat[v_idx], offset, seg_logits[v_idx],
+             points[v_idx, 3:]], -1))
+        ofeat = self.ori_proj(pfeat)
+
+        union_pts = jnp.concatenate([xyz, v_ctr], 0)
+        union_feat = jnp.concatenate([ofeat, vfeat], 0)
+        union_ok = jnp.concatenate([pv, v_ok], 0)
+        union_cls = jnp.concatenate(
+            [jnp.full((xyz.shape[0],), -1, jnp.int32), v_cls], 0)
+
+        vres = vx.voxelize(union_pts, union_ok, c.virtual_voxel_size,
+                           c.pc_range, V)
+        feat_v = vx.scatter_to_voxels(union_feat, vres.point2voxel, V,
+                                      "mean")
+        # mixer: two submanifold convs over the virtual grid
+        vgrid = tuple(np.maximum(np.round(
+            (np.asarray(c.pc_range[3:]) - np.asarray(c.pc_range[:3]))
+            / np.asarray(c.virtual_voxel_size)), 1).astype(int))
+        grid = sc.build_grid(vres.coords, vres.voxel_valid, vgrid)
+        table = sc.neighbor_table(grid, vres.coords, vres.voxel_valid,
+                                  sc.kernel_offsets(3))
+        x = self.mixer1(feat_v, table, vres.voxel_valid)
+        x = self.mixer2(x, table, vres.voxel_valid)
+
+        # class-c virtual indicator per voxel
+        seg = jnp.where(vres.point2voxel >= 0, vres.point2voxel, V)
+        onehot = (jax.nn.one_hot(union_cls, ncls, dtype=jnp.float32)
+                  * union_ok[:, None])
+        has_cls = jax.ops.segment_max(
+            onehot, seg, num_segments=V + 1)[:V] > 0       # [V, ncls]
+        has_cls = has_cls & vres.voxel_valid[:, None]
+
+        centers = ((vres.coords + 0.5)
+                   * jnp.asarray(c.virtual_voxel_size, jnp.float32)
+                   + jnp.asarray(c.pc_range[:3], jnp.float32))
+
+        cluster_feats = jnp.zeros((C, x.shape[-1]), x.dtype)
+        cluster_xyz = jnp.zeros((C, 3), jnp.float32)
+        cluster_valid = jnp.zeros((C,), bool)
+        for cls_id in range(ncls):
+            flag = has_cls[:, cls_id]
+            rank = jnp.cumsum(flag.astype(jnp.int32)) - 1
+            slot = jnp.where(flag & (rank < Kc), cls_id * Kc + rank, C)
+            cluster_feats = cluster_feats.at[slot].set(x, mode="drop")
+            cluster_xyz = cluster_xyz.at[slot].set(centers, mode="drop")
+            cluster_valid = cluster_valid.at[slot].set(flag, mode="drop")
+        return cluster_feats, cluster_xyz, cluster_valid
+
     def __call__(self, points, mask, train: bool = False):
         c = self.cfg
         ncls = c.num_classes
         C = c.max_clusters
         seg_logits, votes, pv, pfeat = self.segment(points, mask)
+
+        if not c.use_clustering:   # FSDv2 virtual-voxel path
+            cluster_feats, cluster_xyz, cluster_valid = \
+                self._virtual_voxels(points,
+                                     jax.lax.stop_gradient(seg_logits),
+                                     jax.lax.stop_gradient(votes), pv,
+                                     pfeat)
+            cluster_class = jnp.arange(C, dtype=jnp.int32) \
+                // c.max_clusters_per_class
+            cls_logits, reg_preds = self.head(cluster_feats, train=train)
+            boxes_tasks = coder.point_decode(reg_preds,
+                                             cluster_xyz[:, None, :])
+            own = jnp.take_along_axis(
+                boxes_tasks, cluster_class[:, None, None].astype(jnp.int32)
+                .repeat(7, -1), axis=1)[:, 0]
+            return dict(seg_logits=seg_logits, votes=votes, point_valid=pv,
+                        cls=cls_logits, reg_tasks=reg_preds,
+                        boxes_tasks=boxes_tasks, boxes=own,
+                        cluster_valid=cluster_valid,
+                        cluster_centers=cluster_xyz,
+                        cluster_class=cluster_class)
+
         fg_idx, fg_label, fg_centers = self.group(
             points, jax.lax.stop_gradient(seg_logits),
             jax.lax.stop_gradient(votes), pv)
