@@ -53,16 +53,48 @@ class FusedLayerNorm(nn.Module):
         return fused_layernorm(x, scale, bias, self.epsilon)
 
 
+class OnePassLayerNorm(nn.Module):
+    """LayerNorm with single-pass statistics: E[x] and E[x^2] are two
+    reductions over ONE read of x (XLA emits them as a multi-output
+    fusion), versus the mean-then-centered-variance form whose second
+    moment re-reads x. Parameter names match nn.LayerNorm."""
+    epsilon: float = LN_EPS
+
+    @nn.compact
+    def __call__(self, x):
+        c = x.shape[-1]
+        scale = self.param("scale", nn.initializers.ones, (c,))
+        bias = self.param("bias", nn.initializers.zeros, (c,))
+        # statistics accumulate in fp32 (the E[x^2] - E[x]^2 cancellation
+        # is unsafe in bf16); the tensor itself is read once in its own
+        # dtype — the upcast fuses into the reduction
+        xf = x.astype(jnp.float32)
+        m1 = jnp.mean(xf, axis=-1, keepdims=True)
+        m2 = jnp.mean(xf * xf, axis=-1, keepdims=True)
+        var = jnp.maximum(m2 - m1 * m1, 0.0)
+        y = (xf - m1) * jax.lax.rsqrt(var + self.epsilon)
+        return (y * scale + bias).astype(x.dtype)
+
+
+_ONE_PASS_LN = [True]
+
+
+def set_one_pass_ln(on: bool) -> None:
+    _ONE_PASS_LN[0] = bool(on)
+
+
 def make_ln(name: str, epsilon: float = LN_EPS):
     """LayerNorm factory honoring the fused-kernel and stats-dtype flags.
-    Explicit names keep the parameter tree identical across modes (the
-    fused module's params mirror nn.LayerNorm's), so a CPU-offloaded init
-    building the plain path feeds the fused path on the chip directly."""
+    Explicit names keep the parameter tree identical across modes (every
+    variant's params mirror nn.LayerNorm's), so a CPU-offloaded init
+    building one path feeds any other on the chip directly."""
     dd = jax.config.jax_default_device
     on_tpu = (jax.default_backend() == "tpu"
               and (dd is None or dd.platform == "tpu"))
     if _FUSED_LN[0] and on_tpu:
         return FusedLayerNorm(epsilon=epsilon, name=name)
+    if _ONE_PASS_LN[0]:
+        return OnePassLayerNorm(epsilon=epsilon, name=name)
     return nn.LayerNorm(epsilon=epsilon, dtype=ln_dtype(), name=name)
 
 
