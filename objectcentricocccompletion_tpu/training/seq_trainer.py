@@ -35,32 +35,65 @@ class SeqWindow(NamedTuple):
 class SequenceLoader:
     """Draws windows of ``window`` consecutive frames from per-sequence
     frame lists. ``dataset.sequences() -> list[list[frame_index]]`` or the
-    whole dataset is treated as one sequence."""
+    whole dataset is treated as one sequence.
 
-    def __init__(self, dataset, window: int, seed: int = 0):
+    ``sequential=True`` walks each sequence front to back in non-
+    overlapping windows (sequence order shuffled per epoch) and sets
+    ``self.carry`` False at every sequence start — the trainer carries the
+    FSD++ point memory across adjacent windows of the same log, matching
+    the reference's sequence-contiguous sharding
+    (``datasets/build_dataloader_sequential.py:77-130``)."""
+
+    def __init__(self, dataset, window: int, seed: int = 0,
+                 sequential: bool = False):
         self.ds = dataset
         self.window = window
         self.rng = np.random.RandomState(seed)
+        self.sequential = sequential
         if hasattr(dataset, "sequences"):
             self.seqs = dataset.sequences()
         else:
             self.seqs = [list(range(len(dataset)))]
         self.seqs = [s for s in self.seqs if len(s) >= window]
         assert self.seqs, "no sequence long enough for the window"
+        self.carry = False
+        self._order: list = []
+        self._seq_i = 0
+        self._beg = 0
 
     def __iter__(self):
         return self
 
-    def __next__(self) -> SeqWindow:
-        seq = self.seqs[self.rng.randint(len(self.seqs))]
-        beg = self.rng.randint(0, len(seq) - self.window + 1)
+    def _build(self, seq, beg) -> SeqWindow:
         samples = [self.ds.build_sample(seq[beg + i], self.rng)
                    for i in range(self.window)]
+
         def stack(k):
             return jnp.asarray(np.stack([s[k] for s in samples], 0))
         return SeqWindow(stack("points"), stack("points_mask"),
                          stack("gt_boxes"), stack("gt_labels"),
                          stack("gt_valid"))
+
+    def __next__(self) -> SeqWindow:
+        if not self.sequential:
+            self.carry = False
+            seq = self.seqs[self.rng.randint(len(self.seqs))]
+            beg = self.rng.randint(0, len(seq) - self.window + 1)
+            return self._build(seq, beg)
+        if not self._order:
+            self._order = list(self.rng.permutation(len(self.seqs)))
+            self._seq_i = 0
+            self._beg = 0
+        seq = self.seqs[self._order[self._seq_i]]
+        self.carry = self._beg > 0
+        out = self._build(seq, self._beg)
+        self._beg += self.window
+        if self._beg + self.window > len(seq):
+            self._beg = 0
+            self._seq_i += 1
+            if self._seq_i >= len(self._order):
+                self._order = []
+        return out
 
 
 def make_seq_train_step(model: FSDPP, tx, window: int):
@@ -108,20 +141,23 @@ def make_seq_train_step(model: FSDPP, tx, window: int):
 def train_fsdpp(model: FSDPP, dataset, work_dir: str, total_steps: int,
                 window: int = 2, base_lr: float = 1e-5,
                 ckpt_interval: int = 1000, log_interval: int = 50,
-                seed: int = 0, resume: bool = True):
-    """Sequential FSD++ training loop: one window per step, memory reset at
-    each window (windows are drawn randomly, so carrying memory across them
-    would mix sequences). Mirrors ``apis/seq_training_apis.py`` at the
-    workflow level; per-sequence memory carry across adjacent windows is a
-    scheduling refinement left to the roadmap."""
+                seed: int = 0, resume: bool = True,
+                sequential: bool = True):
+    """Sequential FSD++ training loop (``apis/seq_training_apis.py``):
+    one window per step. With ``sequential=True`` windows walk each log
+    front to back and the point memory CARRIES across adjacent windows of
+    the same sequence (reset at log boundaries); ``sequential=False``
+    draws random windows with a fresh memory each step."""
     import time
 
     from .detector_trainer import DetectorState
     from .optim import make_optimizer
     from .trainer import CheckpointManager, MetricLogger
 
-    loader = SequenceLoader(dataset, window=window, seed=seed)
+    loader = SequenceLoader(dataset, window=window, seed=seed,
+                            sequential=sequential)
     win = next(loader)
+    win_carry = loader.carry
     feat_dim = win.points.shape[-1]
 
     cpu = jax.devices("cpu")[0]
@@ -148,10 +184,17 @@ def train_fsdpp(model: FSDPP, dataset, work_dir: str, total_steps: int,
 
     step_fn = make_seq_train_step(model, tx, window)
     t_last = time.time()
+    mem = jax.device_put(mem0)
     for step in range(start, total_steps):
-        mem = jax.device_put(mem0)
-        params, opt_state, mem, aux = step_fn(
-            params, opt_state, next(loader) if step > start else win, mem)
+        if step > start:
+            batch = next(loader)
+            carry = loader.carry
+        else:
+            batch, carry = win, win_carry
+        if not carry:          # sequence boundary: fresh point memory
+            mem = jax.device_put(mem0)
+        params, opt_state, mem, aux = step_fn(params, opt_state, batch,
+                                              mem)
         if (step + 1) % log_interval == 0:
             aux = jax.device_get(aux)
             dt = (time.time() - t_last) / log_interval

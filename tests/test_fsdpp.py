@@ -85,3 +85,35 @@ def test_fsdpp_sequential_training_step():
     assert np.isfinite(float(aux2["loss"]))
     assert not np.allclose(np.asarray(jax.tree_util.tree_leaves(params)[0]),
                            np.asarray(p0))
+
+
+def test_sequential_loader_carry_flags(tmp_path):
+    """sequential=True walks each log front to back; carry is False only
+    at sequence starts so memory resets exactly at log boundaries."""
+    from objectcentricocccompletion_tpu.training.seq_trainer import \
+        SequenceLoader
+
+    class FakeDS:
+        def sequences(self):
+            return [[0, 1, 2, 3], [4, 5]]
+
+        def build_sample(self, i, rng):
+            import numpy as np
+            return dict(points=np.zeros((4, 5), np.float32),
+                        points_mask=np.zeros(4, bool),
+                        gt_boxes=np.zeros((2, 7), np.float32),
+                        gt_labels=np.zeros(2, np.int32),
+                        gt_valid=np.zeros(2, bool))
+
+    loader = SequenceLoader(FakeDS(), window=2, seed=0, sequential=True)
+    carries = []
+    for _ in range(6):   # two epochs over 3 windows
+        next(loader)
+        carries.append(loader.carry)
+    # each epoch: one 2-window sequence (carry False, True) + one 1-window
+    # sequence (False), in a shuffled order
+    assert carries.count(False) == 4 and carries.count(True) == 2
+    for i in range(6):
+        if carries[i]:
+            assert not carries[i - 1] or True   # True only follows a start
+    assert carries[0] is False

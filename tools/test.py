@@ -21,7 +21,10 @@ def main():
     p.add_argument("--poses")
     p.add_argument("--occ-root", default=None)
     # frame-family inputs (centerpoint / sst / fsd)
-    p.add_argument("--infos", help="kitti-format infos pkl")
+    p.add_argument("--infos", help="frame infos pkl")
+    p.add_argument("--dataset", choices=["waymo", "argo2", "nuscenes",
+                                         "lyft"], default="waymo",
+                   help="frame dataset family (infos format)")
     p.add_argument("--data-root", help="frame data root")
     p.add_argument("--max-frames", type=int, default=None)
     p.add_argument("--score-thresh", type=float, default=0.1)
@@ -111,7 +114,23 @@ def _eval_detector(args):
         raise SystemExit(
             f"{args.model} evaluation needs --infos and --data-root")
     frame_kw = dict(max_points=4096, max_gt=32) if args.tiny else {}
-    ds = FrameDataset(args.infos, args.data_root, **frame_kw)
+    if args.dataset == "nuscenes":
+        from objectcentricocccompletion_tpu.data.nuscenes_dataset import \
+            NuScenesDataset
+        ds = NuScenesDataset(args.infos, args.data_root, **frame_kw)
+    elif args.dataset == "lyft":
+        from objectcentricocccompletion_tpu.data.nuscenes_dataset import \
+            LyftDataset
+        ds = LyftDataset(args.infos, args.data_root, **frame_kw)
+    elif args.dataset == "argo2":
+        from objectcentricocccompletion_tpu.data.argo2_dataset import \
+            Argo2Dataset
+        # argo2 reads the sensor directory layout; --data-root is the
+        # dataset root, --infos selects the split name
+        ds = Argo2Dataset(args.data_root, args.infos or "train",
+                          **frame_kw)
+    else:
+        ds = FrameDataset(args.infos, args.data_root, **frame_kw)
     print(f"dataset: {len(ds)} frames")
 
     if args.model == "centerpoint":
