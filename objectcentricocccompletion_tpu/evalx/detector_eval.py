@@ -57,7 +57,12 @@ def make_predict_fn(model, family: str):
             out = model.apply({"params": params}, points, mask)
             scores = jax.nn.sigmoid(jnp.max(out["cls"], -1))
             labels = jnp.argmax(out["cls"], -1)
-            return out["boxes"], scores, labels, out["cluster_valid"]
+            # decode with the WINNING task's regression branch (the
+            # reference's per-task get_bboxes), not the cluster's own class
+            boxes = jnp.take_along_axis(
+                out["boxes_tasks"],
+                labels[:, None, None].repeat(7, -1), axis=1)[:, 0]
+            return boxes, scores, labels, out["cluster_valid"]
     elif family == "fsd2":    # two-stage: refined boxes, stage-2 scores
         def fn(params, points, mask):
             out = model.apply({"params": params}, points, mask)
