@@ -61,7 +61,8 @@ class TrainLoader:
 
 def write_synthetic_dataset(root: str, num_tracklets: int = 4,
                             track_len: int = 40, seed: int = 0,
-                            voxel_size: float = 0.2) -> dict:
+                            voxel_size: float = 0.2,
+                            obj_type: int = 1) -> dict:
     """Emit a tiny dataset in the reference's exact on-disk layout:
     proposals pkl + candidates pkl + poses pkl + points _database/ + occ npz
     tree. Returns the paths dict accepted by TrackletDataset."""
@@ -136,10 +137,10 @@ def write_synthetic_dataset(root: str, num_tracklets: int = 4,
                 np.asarray(pts_frames, dtype=object), allow_pickle=True)
 
         num_pts = [len(p) for p in pts_frames]
-        proposals.append((seg, tid, 1, False, pd_boxes, ts,
+        proposals.append((seg, tid, obj_type, False, pd_boxes, ts,
                           [0.9] * T, num_pts))
         gt_id = f"gt_{k}"
-        candidates.append([(seg, gt_id, 1, False, gt_boxes, ts,
+        candidates.append([(seg, gt_id, obj_type, False, gt_boxes, ts,
                             [1.0] * T, num_pts)])
 
         # occupancy grid: a solid box occupying the middle of the volume

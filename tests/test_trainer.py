@@ -80,3 +80,51 @@ def test_hooks_disable_augmentation(tmp_path):
 
     w = loss_weight_warmup(10)
     assert w(5) == 0.0 and w(10) == 1.0
+
+
+def test_ctrl_ped_trains_on_pedestrian_tracklets(tmp_path):
+    """ctrl_ped path end-to-end: pedestrian-type (2) tracklets load through
+    the class filter and the CTRL ped config takes real training steps."""
+    import dataclasses
+    import jax
+    import numpy as np
+    from objectcentricocccompletion_tpu.configs import tiny_config
+    from objectcentricocccompletion_tpu.configs.ococcnet_config import \
+        ctrl_ped_config
+    from objectcentricocccompletion_tpu.data.loader import (
+        TrainLoader, write_synthetic_dataset)
+    from objectcentricocccompletion_tpu.data.tracklet_dataset import \
+        TrackletDataset
+    from objectcentricocccompletion_tpu.parallel.train import (
+        create_train_state, make_mesh, make_train_step, shard_batch)
+
+    paths = write_synthetic_dataset(str(tmp_path / "ds"), num_tracklets=2,
+                                    track_len=10, seed=9, obj_type=2)
+    ped = ctrl_ped_config()
+    cfg = dataclasses.replace(
+        tiny_config(), variant="ctrl", class_names=ped.class_names,
+        cls_pos_thr=ped.cls_pos_thr, cls_neg_thr=ped.cls_neg_thr,
+        corner_loss_weight=ped.corner_loss_weight)
+
+    # the vehicle-class filter must reject these records...
+    ds_veh = TrackletDataset(cfg=tiny_config(), min_tracklet_points=10,
+                             class_names=("Car",), **paths)
+    assert len(ds_veh) == 0
+    # ...and the pedestrian class must load them
+    ds = TrackletDataset(cfg=cfg, min_tracklet_points=10,
+                         class_names=cfg.class_names, **paths)
+    assert len(ds) == 2
+
+    batch = next(TrainLoader(ds, batch_size=1))
+    model, state, tx, _ = create_train_state(
+        cfg, jax.random.PRNGKey(0), batch, total_steps=4)
+    mesh = make_mesh(jax.devices()[:1])
+    step = make_train_step(model, tx, mesh)
+    losses = []
+    for i in range(3):
+        state, aux = step(state, shard_batch(batch, mesh),
+                          jax.random.PRNGKey(i))
+        losses.append(float(aux["loss"]))
+    assert all(np.isfinite(l) for l in losses)
+    assert losses[-1] != losses[0]
+    assert float(aux["loss_rcnn_corner"]) == 0.0   # ped: corner loss off
