@@ -70,6 +70,10 @@ def make_predict_fn(model, family: str):
             labels = jnp.argmax(out["cls"], -1)
             return (out["refined_boxes"], scores, labels,
                     out["roi_nonempty"])
+    elif family == "votenet":
+        def fn(params, points, mask):
+            return model.apply({"params": params}, points, mask,
+                               method=model.predict)
     else:
         raise ValueError(f"unknown detector family: {family}")
     return jax.jit(fn)
@@ -203,13 +207,18 @@ def _gt_and_meta(dataset, idx, s):
 
     gv = s["gt_valid"]
     info = dataset.infos[idx]
-    annos = info["annos"]
-    diff = difficulty_from_annos(annos)
-    # annos rows with DontCare / unknown classes were dropped by the
-    # box conversion; realign difficulty to the kept rows
-    names = np.asarray(annos["name"])
-    kept = np.asarray([CLASS_MAP.get(nm, -1) >= 0 for nm in names])
-    diff = diff[kept][:int(gv.sum())]
+    annos = info.get("annos", {})
+    if "name" in annos:
+        diff = difficulty_from_annos(annos)
+        # annos rows with DontCare / unknown classes were dropped by the
+        # box conversion; realign difficulty to the kept rows
+        names = np.asarray(annos["name"])
+        kept = np.asarray([CLASS_MAP.get(nm, -1) >= 0 for nm in names])
+        diff = diff[kept][:int(gv.sum())]
+    else:
+        # datasets without per-GT image-plane annos (nuscenes/lyft/indoor
+        # sample contracts): every kept GT evaluates as easy
+        diff = np.zeros(int(gv.sum()), np.int32)
     gt = dict(boxes=s["gt_boxes"][gv], labels=s["gt_labels"][gv],
               difficulty=diff)
     meta = dict(

@@ -114,7 +114,15 @@ def difficulty_from_annos(annos: dict) -> np.ndarray:
     ``occluded``/``truncated`` flags (the reference's ``add_difficulty``
     recipe in its kitti converters). Missing fields count as unoccluded /
     untruncated; a missing ``bbox`` counts as tall enough for easy."""
-    n = len(annos["name"]) if "name" in annos else len(annos["bbox"])
+    if "name" in annos:
+        n = len(annos["name"])
+    elif "bbox" in annos:
+        n = len(annos["bbox"])
+    else:
+        # indoor annos (scannet/sunrgbd) carry no image-plane fields:
+        # every GT counts as easy
+        n = len(annos.get("class",
+                          annos.get("gt_boxes_upright_depth", [])))
     if "bbox" in annos and len(annos["bbox"]):
         bbox = np.asarray(annos["bbox"], np.float64)
         heights = bbox[:, 3] - bbox[:, 1]

@@ -14,7 +14,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(
 def main():
     p = argparse.ArgumentParser()
     p.add_argument("model", choices=["ococcnet", "centerpoint", "sst",
-                                     "fsd", "fsd2", "fsdpp"])
+                                     "fsd", "fsd2", "fsdpp", "votenet"])
     # tracklet-family inputs (ococcnet)
     p.add_argument("--proposals")
     p.add_argument("--gt-candidates")
@@ -23,7 +23,8 @@ def main():
     # frame-family inputs (centerpoint / sst / fsd)
     p.add_argument("--infos", help="frame infos pkl")
     p.add_argument("--dataset", choices=["waymo", "argo2", "nuscenes",
-                                         "lyft"], default="waymo",
+                                         "lyft", "scannet", "sunrgbd"],
+                   default="waymo",
                    help="frame dataset family (infos format)")
     p.add_argument("--data-root", help="frame data root")
     p.add_argument("--max-frames", type=int, default=None)
@@ -122,6 +123,12 @@ def _eval_detector(args):
         from objectcentricocccompletion_tpu.data.nuscenes_dataset import \
             LyftDataset
         ds = LyftDataset(args.infos, args.data_root, **frame_kw)
+    elif args.dataset in ("scannet", "sunrgbd"):
+        from objectcentricocccompletion_tpu.data.indoor_dataset import (
+            ScanNetDataset, SUNRGBDDataset)
+        cls_ds = ScanNetDataset if args.dataset == "scannet" \
+            else SUNRGBDDataset
+        ds = cls_ds(args.infos, args.data_root, **frame_kw)
     elif args.dataset == "argo2":
         from objectcentricocccompletion_tpu.data.argo2_dataset import \
             Argo2Dataset
@@ -133,7 +140,15 @@ def _eval_detector(args):
         ds = FrameDataset(args.infos, args.data_root, **frame_kw)
     print(f"dataset: {len(ds)} frames")
 
-    if args.model == "centerpoint":
+    if args.model == "votenet":
+        from objectcentricocccompletion_tpu.models.votenet import (
+            VoteNet, VoteNetConfig, tiny_votenet_config)
+        ncls = len(getattr(ds, "classes", range(18)))
+        model = VoteNet(tiny_votenet_config(min(ncls, 4)) if args.tiny
+                        else VoteNetConfig(
+                            num_classes=ncls,
+                            with_yaw=args.dataset == "sunrgbd"))
+    elif args.model == "centerpoint":
         from objectcentricocccompletion_tpu.models.centerpoint import (
             CenterPointConfig, DynamicCenterPoint, tiny_centerpoint_config)
         model = DynamicCenterPoint(
@@ -200,7 +215,10 @@ def _eval_detector(args):
             model, args.model, params, ds, args.out_dir,
             score_thresh=args.score_thresh, max_frames=args.max_frames)
     else:
+        # per-dataset class names drive the KITTI-protocol AP keys
+        classes = tuple(getattr(ds, "classes", ("Car",)))
         metrics = evaluate_detector(model, args.model, params, ds,
+                                    classes=classes,
                                     score_thresh=args.score_thresh,
                                     max_frames=args.max_frames)
     print(json.dumps(metrics, indent=2, default=float))

@@ -23,7 +23,7 @@ def main():
     p = argparse.ArgumentParser()
     p.add_argument("model",
                    choices=["ococcnet", "ctrl", "centerpoint", "sst",
-                            "fsd", "fsd2", "fsdpp"],
+                            "fsd", "fsd2", "fsdpp", "votenet"],
                    help="model family to train")
     # tracklet-family inputs (ococcnet / ctrl)
     p.add_argument("--proposals")
@@ -33,7 +33,8 @@ def main():
     # frame-family inputs (centerpoint / sst / fsd)
     p.add_argument("--infos", help="frame infos pkl")
     p.add_argument("--dataset", choices=["waymo", "argo2", "nuscenes",
-                                         "lyft"], default="waymo",
+                                         "lyft", "scannet", "sunrgbd"],
+                   default="waymo",
                    help="frame dataset family (infos format)")
     p.add_argument("--data-root", help="frame data root")
     p.add_argument("--occ-pred-root", default=None,
@@ -132,6 +133,12 @@ def main():
         from objectcentricocccompletion_tpu.data.nuscenes_dataset import \
             LyftDataset
         ds = LyftDataset(args.infos, args.data_root, **frame_kw)
+    elif args.dataset in ("scannet", "sunrgbd"):
+        from objectcentricocccompletion_tpu.data.indoor_dataset import (
+            ScanNetDataset, SUNRGBDDataset)
+        cls_ds = ScanNetDataset if args.dataset == "scannet" \
+            else SUNRGBDDataset
+        ds = cls_ds(args.infos, args.data_root, **frame_kw)
     elif args.dataset == "argo2":
         from objectcentricocccompletion_tpu.data.argo2_dataset import \
             Argo2Dataset
@@ -165,7 +172,15 @@ def main():
                     ckpt_interval=args.ckpt_interval, seed=args.seed,
                     resume=not args.no_resume)
         return
-    if args.model == "centerpoint":
+    if args.model == "votenet":
+        from objectcentricocccompletion_tpu.models.votenet import (
+            VoteNet, VoteNetConfig, tiny_votenet_config)
+        ncls = len(getattr(ds, "classes", range(18)))
+        vc = (tiny_votenet_config(min(ncls, 4)) if args.tiny
+              else VoteNetConfig(num_classes=ncls,
+                                 with_yaw=args.dataset == "sunrgbd"))
+        model = VoteNet(vc)
+    elif args.model == "centerpoint":
         from objectcentricocccompletion_tpu.models.centerpoint import (
             CenterPointConfig, DynamicCenterPoint, tiny_centerpoint_config)
         model = DynamicCenterPoint(
