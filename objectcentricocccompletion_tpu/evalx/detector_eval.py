@@ -193,8 +193,15 @@ def _frame_results(model, family, params, dataset, score_thresh, nms_iou,
         m = ok & (sc > score_thresh) & np.isfinite(b).all(-1)
         b, sc, lb = b[m], sc[m], lb[m]
         if len(b):
-            k = host_nms(b, sc, nms_iou)
-            b, sc, lb = b[k], sc[k], lb[k]
+            # PER-CLASS NMS (the reference's use_rotate_nms per class via
+            # box3d_multiclass_nms): boxes of different classes never
+            # suppress each other
+            keep = np.zeros(len(b), bool)
+            for cls_id in np.unique(lb):
+                cm = np.nonzero(lb == cls_id)[0]
+                k = host_nms(b[cm], sc[cm], nms_iou)
+                keep[cm[k]] = True
+            b, sc, lb = b[keep], sc[keep], lb[keep]
         pred = dict(boxes=b, scores=sc, labels=lb)
         gt, meta = _gt_and_meta(dataset, i, s)
         yield pred, gt, meta
