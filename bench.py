@@ -38,7 +38,11 @@ def main():
         batch_size=int(os.environ.get("BENCH_BATCH", "4")),
         use_pallas_sir=os.environ.get("BENCH_SIR", "0") == "1",
         remat_sir=os.environ.get("BENCH_REMAT", "0") == "1",
-        fused_ln=os.environ.get("BENCH_FUSED_LN", "0") == "1")
+        fused_ln=os.environ.get("BENCH_FUSED_LN", "0") == "1",
+        # BENCH_ROI_BUDGET=0 -> None (strict parity); unset -> config
+        # default (640)
+        **({"roi_point_budget": int(os.environ["BENCH_ROI_BUDGET"]) or None}
+           if os.environ.get("BENCH_ROI_BUDGET") else {}))
     mesh = make_mesh(jax.devices())
     n_dev = mesh.devices.size
     global_batch = cfg.batch_size * n_dev

@@ -120,6 +120,30 @@ class OcOccNet(nn.Module):
         pts_feats = batch.points[..., 3:]
         pool = rp.roi_pool(pts_xyz, batch.points_mask, batch.rois,
                            cfg.extra_wlh)
+
+        # optional per-RoI point compaction (the reference's
+        # max_inbox_point cap, dynamic_point_pool_op.py:29): gather valid
+        # pooled points to the front and truncate to the budget — the SIR
+        # encoders then run at the smaller static P. Points are
+        # permutation-invariant under the masked-max reductions.
+        Q = getattr(cfg, "roi_point_budget", None)
+        if Q and Q < P:
+            order = jnp.argsort(~pool.mask, axis=-1,
+                                stable=True)[..., :Q]    # valid first
+
+            def take(x):
+                if x.ndim == 3:
+                    return jnp.take_along_axis(x, order, axis=2)
+                return jnp.take_along_axis(x, order[..., None], axis=2)
+
+            pts_xyz = take(pts_xyz)
+            pts_feats = take(pts_feats)
+            pool = rp.RoiPoolInfo(take(pool.mask), take(pool.local_xyz),
+                                  take(pool.boundary_offset),
+                                  take(pool.is_in_margin),
+                                  take(pool.rel_xyz))
+            P = Q
+
         nonempty = jnp.any(pool.mask, axis=-1)  # [B, L]
 
         def flat(x):

@@ -271,3 +271,30 @@ def test_ctrl_corner_loss():
                                        train=False)[0])(v["params"])
     assert all(bool(jnp.isfinite(x).all())
                for x in jax.tree_util.tree_leaves(g))
+
+
+def test_roi_point_budget_compaction():
+    """roi_point_budget: when every RoI has fewer valid pooled points than
+    the budget, the compacted model output is IDENTICAL (points are
+    permutation-invariant under the masked reductions)."""
+    import dataclasses
+    from objectcentricocccompletion_tpu.configs import tiny_config
+    from objectcentricocccompletion_tpu.models import OcOccNetWithLoss
+
+    cfg = tiny_config()
+    batch = make_batch(cfg, seed=11, all_points_valid=False)
+    # mask out the tail so every frame has < 32 valid points
+    pm = np.asarray(batch.points_mask).copy()
+    pm[..., 32:] = False
+    batch = batch._replace(points_mask=jnp.asarray(pm))
+
+    model = OcOccNetWithLoss(cfg)
+    v = model.init({"params": jax.random.PRNGKey(0)}, batch, train=False)
+    total0, aux0 = model.apply(v, batch, train=False)
+
+    cfg2 = dataclasses.replace(cfg, roi_point_budget=32)
+    model2 = OcOccNetWithLoss(cfg2)
+    total1, aux1 = model2.apply(v, batch, train=False)
+    np.testing.assert_allclose(float(total1), float(total0), rtol=1e-5)
+    np.testing.assert_allclose(float(aux1["loss_rcnn_occ"]),
+                               float(aux0["loss_rcnn_occ"]), rtol=1e-5)
