@@ -42,7 +42,10 @@ def main():
         # BENCH_ROI_BUDGET=0 -> None (strict parity); unset -> config
         # default (640)
         **({"roi_point_budget": int(os.environ["BENCH_ROI_BUDGET"]) or None}
-           if os.environ.get("BENCH_ROI_BUDGET") else {}))
+           if os.environ.get("BENCH_ROI_BUDGET") else {}),
+        # BENCH_PACKED=0 -> dense layout; unset -> config default
+        **({"packed_point_budget": int(os.environ["BENCH_PACKED"]) or None}
+           if os.environ.get("BENCH_PACKED") else {}))
     mesh = make_mesh(jax.devices())
     n_dev = mesh.devices.size
     global_batch = cfg.batch_size * n_dev

@@ -62,6 +62,16 @@ class OcOccNetConfig:
     # parity.
     roi_point_budget: int | None = 640
 
+    # global packed-point budget PER TRACKLET (the reference's max_all_pts
+    # design, ops/dynamic_point_pool_op.py:29-35): valid pooled points of
+    # all reg_len frames compact into one [budget] buffer with frame
+    # segment ids (ops/packed.py), so the SIR encoders' matmul/LayerNorm
+    # cost scales with actual point occupancy instead of the dense
+    # [L, P] worst case. Overflow drops points of the latest frames first
+    # (the CUDA pool's block-layout truncation). When set, takes
+    # precedence over roi_point_budget. None = dense layout.
+    packed_point_budget: int | None = None
+
     # SIR RoI encoder (OccBBoxHead blocks)
     num_blocks: int = 6
     feat_channels: Tuple[int, int] = (128, 128)

@@ -38,6 +38,7 @@ import jax.numpy as jnp
 from ..configs.ococcnet_config import OcOccNetConfig
 from ..core import boxes as box_ops
 from ..core import coder
+from ..ops import packed as pk
 from ..ops import roi_pool as rp
 from .layers import Mlp, sinusoidal_position_encoding
 from .occ_decoder import OccDecoder
@@ -68,8 +69,11 @@ class OcOccNet(nn.Module):
         import jax.numpy as _jnp
         dt = _jnp.dtype(cfg.compute_dtype)
         self.with_occ = cfg.variant == "ococc"
-        Encoder = (nn.remat(SIREncoder)
-                   if getattr(cfg, "remat_sir", False) else SIREncoder)
+        # remat applies to the dense layout only; the packed path's static
+        # num_segments must not become a traced checkpoint argument
+        use_remat = (getattr(cfg, "remat_sir", False)
+                     and not getattr(cfg, "packed_point_budget", None))
+        Encoder = nn.remat(SIREncoder) if use_remat else SIREncoder
         self.roi_encoder = Encoder(
             num_blocks=cfg.num_blocks, feat_channels=cfg.feat_channels,
             rel_mlp_hidden=cfg.rel_mlp_hidden,
@@ -121,6 +125,12 @@ class OcOccNet(nn.Module):
         pool = rp.roi_pool(pts_xyz, batch.points_mask, batch.rois,
                            cfg.extra_wlh)
 
+        if getattr(cfg, "packed_point_budget", None):
+            roi_feats, ae_feats, nonempty = self._encode_packed(
+                batch, pool, pts_xyz, pts_feats, train=train)
+            return self._heads(batch, roi_feats, ae_feats, nonempty,
+                               train=train)
+
         # optional per-RoI point compaction (the reference's
         # max_inbox_point cap, dynamic_point_pool_op.py:29): gather valid
         # pooled points to the front and truncate to the budget — the SIR
@@ -167,13 +177,7 @@ class OcOccNet(nn.Module):
         roi_feats = jnp.where(nonempty[..., None], roi_feats, 0.0)
 
         if not self.with_occ:   # CTRL: heads straight off the RoI encoder
-            cls_logit = self.conv_cls(
-                roi_feats, train=train)[..., 0].astype(jnp.float32)
-            bbox_pred = self.conv_reg(
-                roi_feats, train=train).astype(jnp.float32)
-            return dict(cls_logit=cls_logit, bbox_pred=bbox_pred,
-                        shape_latent=roi_feats, ae_latent=roi_feats,
-                        nonempty=nonempty)
+            return self._heads(batch, roi_feats, None, nonempty, train=train)
 
         # ---- occupancy auto-encoder (occ_ae_head.encode) ----
         vox_centers = rp.quantize_to_voxel_centers(
@@ -185,6 +189,74 @@ class OcOccNet(nn.Module):
             flat(pool.local_xyz), flat(ae_in), flat(pool.mask), **enc_kw)
         ae_feats = ae_feats.reshape(B, L, -1)
         ae_feats = jnp.where(nonempty[..., None], ae_feats, 0.0)
+        return self._heads(batch, roi_feats, ae_feats, nonempty, train=train)
+
+    def _encode_packed(self, batch: TrackletBatch, pool: rp.RoiPoolInfo,
+                       pts_xyz: jax.Array, pts_feats: jax.Array, *,
+                       train: bool):
+        """Packed-segment encoders (the reference's global point budget,
+        ``max_all_pts`` in ``ops/dynamic_point_pool_op.py:29-35``): valid
+        pooled points of all frames compact into one [B, N] buffer with
+        frame segment ids, so SIR matmul/LN bandwidth scales with actual
+        occupancy instead of the [B, L, P] worst case."""
+        cfg = self.cfg
+        B, L = batch.rois.shape[:2]
+        N = cfg.packed_point_budget
+        packed = pk.pack_groups(pool.mask, N)
+        seg = packed.seg_ids
+
+        # one fused row gather for every per-point channel
+        allc = jnp.concatenate(
+            [pts_xyz, pts_feats, pool.local_xyz, pool.boundary_offset,
+             pool.is_in_margin[..., None], pool.rel_xyz], axis=-1)
+        pc = pk.pack_rows(allc, packed.order)
+        F = pts_feats.shape[-1]
+        p_xyz = pc[..., 0:3]
+        p_feats = pc[..., 3:3 + F]
+        o = 3 + F
+        p_local = pc[..., o:o + 3]
+        p_boundary = pc[..., o + 3:o + 9]
+        p_margin = pc[..., o + 9:o + 10]
+        p_rel = pc[..., o + 10:o + 13]
+
+        nonempty = pk.segment_any(seg, L)  # [B, L] post-truncation
+
+        enc_kw = {"train": train}
+        # ---- RoI observation encoder ----
+        roi_score_pt = pk.broadcast_back(batch.roi_scores[..., None], seg)
+        enc_feats = jnp.concatenate([p_feats, roi_score_pt], axis=-1)
+        f_cluster = jnp.concatenate(
+            [p_local, p_boundary, p_margin, p_rel], axis=-1)  # 13-d
+        _, roi_feats = self.roi_encoder(
+            p_xyz, enc_feats, packed.valid, f_cluster, seg, L, **enc_kw)
+        roi_feats = jnp.where(nonempty[..., None], roi_feats, 0.0)
+
+        if not self.with_occ:
+            return roi_feats, None, nonempty
+
+        # ---- occupancy auto-encoder ----
+        roi_sizes_pt = pk.broadcast_back(batch.rois[..., 3:6], seg)
+        vox_centers = rp.quantize_to_voxel_centers_aligned(
+            p_local, roi_sizes_pt, cfg.ae_voxel_size)
+        ae_in = jnp.concatenate(
+            [p_feats[..., :2], p_boundary, p_margin, vox_centers], axis=-1)
+        _, ae_feats = self.ae_encoder(
+            p_local, ae_in, packed.valid, None, seg, L, **enc_kw)
+        ae_feats = jnp.where(nonempty[..., None], ae_feats, 0.0)
+        return roi_feats, ae_feats, nonempty
+
+    def _heads(self, batch: TrackletBatch, roi_feats: jax.Array,
+               ae_feats: jax.Array | None, nonempty: jax.Array, *,
+               train: bool) -> dict:
+        cfg = self.cfg
+        if not self.with_occ:   # CTRL: heads straight off the RoI encoder
+            cls_logit = self.conv_cls(
+                roi_feats, train=train)[..., 0].astype(jnp.float32)
+            bbox_pred = self.conv_reg(
+                roi_feats, train=train).astype(jnp.float32)
+            return dict(cls_logit=cls_logit, bbox_pred=bbox_pred,
+                        shape_latent=roi_feats, ae_latent=roi_feats,
+                        nonempty=nonempty)
 
         # ---- temporal transformer ----
         pos = sinusoidal_position_encoding(batch.frame_inds, cfg.d_model)

@@ -31,11 +31,24 @@ import flax.linen as nn
 import jax
 import jax.numpy as jnp
 
+from ..ops import packed as pk
 from ..ops.masked import masked_max, masked_mean
 from .layers import Mlp, VfeLayer
 
 
 class SIRBlock(nn.Module):
+    """One SIR block in either point layout.
+
+    Dense (``seg_ids is None``): inputs are ``[G, P, C]`` with a ``[G, P]``
+    mask; the group reduce is a masked max over axis -2.
+
+    Packed (``seg_ids`` given): inputs are ``[B, N, C]`` where ``N`` is the
+    tracklet's global point budget (``ops/packed.py``); the group reduce is a
+    segment max over the per-point frame ids (invalid rows carry
+    ``id == num_segments`` and drop out of every reduction), and the
+    broadcast-back is a row gather from the tiny ``[B, S, C]`` table. Both
+    layouts share the identical parameter structure.
+    """
     feat_channels: Sequence[int] = (128, 128)
     rel_mlp_hidden: Sequence[int] = (16, 32)
     mode: str = "max"
@@ -45,25 +58,37 @@ class SIRBlock(nn.Module):
 
     @nn.compact
     def __call__(self, in_feats: jax.Array, f_rel: jax.Array,
-                 mask: jax.Array, *, train: bool = False):
-        """in_feats: [G, P, C]; f_rel: [G, P, R] (already scaled);
-        mask: [G, P]. Returns (point_feats [G, P, 128], cluster [G, 256])."""
+                 mask: jax.Array, seg_ids: jax.Array | None = None,
+                 num_segments: int | None = None, *, train: bool = False):
+        """Returns (point_feats [.., 128], cluster [G or B*S, 256])."""
         gate = Mlp(tuple(self.rel_mlp_hidden) + (in_feats.shape[-1],),
                    act=self.act, dtype=self.dtype,
                    name="rel_mlp")(f_rel, train=train)
         x = in_feats.astype(self.dtype) * gate
 
-        reduce = masked_max if self.mode == "max" else masked_mean
+        if seg_ids is None:
+            def reduce(x):
+                fn = masked_max if self.mode == "max" else masked_mean
+                return fn(x, mask, axis=-2)
+
+            def broadcast(g, x):
+                return jnp.broadcast_to(g[..., None, :], x.shape)
+        else:
+            def reduce(x):
+                fn = pk.segment_max if self.mode == "max" else pk.segment_mean
+                return fn(x, seg_ids, num_segments)
+
+            def broadcast(g, x):
+                return pk.broadcast_back(g, seg_ids)
+
         cluster_feats = []
         for i, c in enumerate(self.feat_channels):
             x = VfeLayer(c, act=self.act, dropout=self.dropout,
                          dtype=self.dtype, name=f"vfe_{i}")(x, train=train)
-            g = reduce(x, mask, axis=-2)  # [G, C]
+            g = reduce(x)
             cluster_feats.append(g)
             if i != len(self.feat_channels) - 1:
-                x = jnp.concatenate(
-                    [x, jnp.broadcast_to(g[..., None, :], x.shape)], axis=-1
-                )
+                x = jnp.concatenate([x, broadcast(g, x)], axis=-1)
         return x, jnp.concatenate(cluster_feats, axis=-1)
 
 
@@ -142,21 +167,30 @@ class SIREncoder(nn.Module):
 
     @nn.compact
     def __call__(self, xyz: jax.Array, feats: jax.Array, mask: jax.Array,
-                 f_cluster: jax.Array | None = None, *, train: bool = False):
-        """xyz [G, P, 3], feats [G, P, F], mask [G, P],
-        f_cluster [G, P, R] or None.
+                 f_cluster: jax.Array | None = None,
+                 seg_ids: jax.Array | None = None,
+                 num_segments: int | None = None, *, train: bool = False):
+        """Dense: xyz [G, P, 3], feats [G, P, F], mask [G, P],
+        f_cluster [G, P, R] or None -> (point_feats [G, P, 128],
+        roi_feats [G, num_blocks*256]).
 
-        Returns (point_feats [G, P, 128], roi_feats [G, num_blocks*256]).
+        Packed (``seg_ids`` [B, N] given, see ``ops/packed.py``): leading
+        dims are [B, N]; returns roi_feats [B, num_segments, num_blocks*256].
         """
         norm = jnp.asarray(self.xyz_normalizer, xyz.dtype)
         xyz_n = xyz / norm
 
         if f_cluster is None:
-            center = masked_mean(xyz, mask, axis=-2)
-            f_cluster = xyz - center[..., None, :]
+            if seg_ids is None:
+                center = masked_mean(xyz, mask, axis=-2)
+                f_cluster = xyz - center[..., None, :]
+            else:
+                center = pk.segment_mean(xyz, seg_ids, num_segments)
+                f_cluster = xyz - pk.broadcast_back(center, seg_ids)
         f_rel = f_cluster / self.rel_dist_scaler
 
         if self.use_pallas:
+            assert seg_ids is None, "fused kernel is dense-layout only"
             return self._fused(xyz_n, feats, f_rel, mask)
 
         out_feats = feats
@@ -170,7 +204,7 @@ class SIREncoder(nn.Module):
                 self.feat_channels, self.rel_mlp_hidden, act=self.act,
                 dropout=self.dropout, dtype=self.dtype,
                 name=f"block_{i}"
-            )(in_feats, f_rel, mask, train=train)
+            )(in_feats, f_rel, mask, seg_ids, num_segments, train=train)
             if (self.with_shortcut and not self.geo_input
                     and out_feats.shape == point_feats.shape):
                 point_feats = point_feats + out_feats

@@ -82,3 +82,13 @@ def quantize_to_voxel_centers(local_xyz: jax.Array, roi_sizes: jax.Array,
     min_bound = -0.5 * roi_sizes[..., None, :]
     coors = jnp.floor((local_xyz - min_bound) / voxel_size)
     return coors * voxel_size + min_bound + 0.5 * voxel_size
+
+
+def quantize_to_voxel_centers_aligned(local_xyz: jax.Array,
+                                      roi_sizes: jax.Array,
+                                      voxel_size: float) -> jax.Array:
+    """Same as :func:`quantize_to_voxel_centers` with ``roi_sizes`` already
+    expanded per point (packed layout: both ``[B, N, 3]``)."""
+    min_bound = -0.5 * roi_sizes
+    coors = jnp.floor((local_xyz - min_bound) / voxel_size)
+    return coors * voxel_size + min_bound + 0.5 * voxel_size

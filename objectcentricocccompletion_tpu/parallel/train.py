@@ -84,11 +84,40 @@ def apply_ln_dtype(cfg) -> None:
     set_fused_ln(getattr(cfg, "fused_ln", False))
 
 
+def shrink_batch(batch: TrackletBatch, max_b: int = 1, max_l: int = 4,
+                 max_p: int = 32, max_k: int = 8) -> TrackletBatch:
+    """Slice a batch down to tiny static shapes for parameter init.
+
+    Every parameter shape depends only on channel dims (never on
+    B/L/P/K), so initializing on a sliced batch yields the identical
+    parameter tree while skipping the full-size init computation — the
+    eager per-op init of the packed layout otherwise materializes
+    hundreds of MB per reduction on the CPU backend (minutes of wall
+    clock)."""
+    def cut(x, dims):
+        sl = tuple(slice(0, d) for d in dims)
+        return x[sl]
+    return TrackletBatch(
+        points=cut(batch.points, (max_b, max_l, max_p)),
+        points_mask=cut(batch.points_mask, (max_b, max_l, max_p)),
+        rois=cut(batch.rois, (max_b, max_l)),
+        roi_scores=cut(batch.roi_scores, (max_b, max_l)),
+        frame_inds=cut(batch.frame_inds, (max_b, max_l)),
+        gt_boxes=cut(batch.gt_boxes, (max_b, max_l)),
+        gt_valid=cut(batch.gt_valid, (max_b, max_l)),
+        occ_points=cut(batch.occ_points, (max_b, max_k)),
+        occ_labels=cut(batch.occ_labels, (max_b, max_k)),
+        occ_mask=cut(batch.occ_mask, (max_b, max_k)),
+        occ_score=cut(batch.occ_score, (max_b,)),
+    )
+
+
 def create_train_state(cfg: OcOccNetConfig, rng: jax.Array,
                        sample_batch: TrackletBatch, total_steps: int):
     apply_ln_dtype(cfg)
     model = OcOccNetWithLoss(cfg)
-    variables = model.init({"params": rng}, sample_batch, train=False)
+    variables = model.init({"params": rng}, shrink_batch(sample_batch),
+                           train=False)
     params = variables["params"]
     # fixed_ae: freeze the occupancy auto-encoder subtree (the reference's
     # OnlyGrad optimizer constructor used with a pretrained AE)

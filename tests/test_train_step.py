@@ -158,3 +158,29 @@ def test_fixed_ae_freezes_ae_params():
     assert subtree_delta(p0, p1, want=True) == 0.0, "AE params moved"
     assert subtree_delta(p0, p1, want=False) > 0.0, "nothing trained"
     assert np.isfinite(float(aux["loss"]))
+
+
+def test_shrunk_init_matches_full_init_structure():
+    """create_train_state inits on a sliced batch; the parameter tree must
+    be identical (shapes depend only on channel dims, never B/L/P/K)."""
+    import jax
+    from objectcentricocccompletion_tpu.configs import tiny_config
+    from objectcentricocccompletion_tpu.models import OcOccNetWithLoss
+    from objectcentricocccompletion_tpu.parallel.train import shrink_batch
+    from tests.test_model import make_batch
+
+    cfg = tiny_config()
+    batch = make_batch(cfg, seed=11)
+    model = OcOccNetWithLoss(cfg)
+    full = model.init({"params": jax.random.PRNGKey(0)}, batch,
+                      train=False)["params"]
+    small = model.init({"params": jax.random.PRNGKey(0)},
+                       shrink_batch(batch), train=False)["params"]
+    fs = jax.tree_util.tree_map(lambda x: (x.shape, x.dtype), full)
+    ss = jax.tree_util.tree_map(lambda x: (x.shape, x.dtype), small)
+    assert fs == ss
+    # and values match too (same rng, shape-independent initializers)
+    for a, b in zip(jax.tree_util.tree_leaves(full),
+                    jax.tree_util.tree_leaves(small)):
+        import numpy as np
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
