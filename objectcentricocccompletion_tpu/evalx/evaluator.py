@@ -23,20 +23,21 @@ from . import occ_iou as occ_iou_mod
 from .waymo_bin import WaymoObject, tracklets_to_objects, write_bin
 from .waymo_metrics import compute_metrics
 
-LENGTH_BUCKETS = (32, 64, 128, 224)
+LENGTH_BUCKETS = (32, 64, 128, 256)
 MAX_OCC_QUERIES = 16384
 
 
 def pad_to_bucket(sample: dict, cfg: OcOccNetConfig) -> tuple[dict, int]:
     """Pad a variable-length eval sample to a static length bucket by
-    repeating the last frame (mirrors TrackletRegularization padding)."""
+    repeating the last frame (mirrors TrackletRegularization padding).
+
+    Tracklets longer than the largest fixed bucket get a bucket rounded up
+    to the next multiple of 64 (one extra compile per such length class,
+    never a silently dropped frame — the reference evaluates the full
+    track, ``tracklet_roi_head_occ.simple_test``)."""
     T = sample["rois"].shape[0]
-    L = next((b for b in LENGTH_BUCKETS if b >= T), LENGTH_BUCKETS[-1])
-    if T > L:   # truncate over-long tracklets to the largest bucket
-        sample = {k: (v[:L] if isinstance(v, np.ndarray)
-                      and v.shape[:1] == (T,) else v)
-                  for k, v in sample.items()}
-        return sample, L
+    L = next((b for b in LENGTH_BUCKETS if b >= T),
+             ((T + 63) // 64) * 64)
     if T == L:
         return sample, T
     pad = L - T
@@ -222,7 +223,8 @@ class Evaluator:
                                      np.linalg.inv(poses[j]))[0]
                 for j in range(T)], 0)
             out_tracklets.append(dict(
-                segment_name=rec.segment_name, id=rec.id, type=0,
+                segment_name=rec.segment_name, id=rec.id,
+                waymo_type=rec.type,
                 boxes=ego_boxes, scores=scores, ts=ts))
 
             if eval_occ:
@@ -289,8 +291,8 @@ class Evaluator:
                     else [50] * len(gt))
             for box, ts, np_ in zip(gt.boxes, gt.ts, npts):
                 objs.append(WaymoObject(
-                    tuple(box), 1.0, 1, gt.id, gt.segment_name, int(ts),
-                    num_lidar_points=int(np_), difficulty=1))
+                    tuple(box), 1.0, int(gt.type), gt.id, gt.segment_name,
+                    int(ts), num_lidar_points=int(np_), difficulty=1))
         write_bin(objs, path)
 
     def _save_occ_fn(self, key):
@@ -331,13 +333,8 @@ class Evaluator:
         queries = np.zeros((L, Kq, 3), np.float32)
         qvalid = np.zeros((L, Kq), bool)
         for j in range(T):
-            size = rois[j, 3:6]
-            dims = np.maximum(np.ceil(size / self.cfg.ae_voxel_size), 1
-                              ).astype(int)
-            coors = np.stack(np.meshgrid(*[np.arange(d) for d in dims],
-                                         indexing="ij"), -1).reshape(-1, 3)
-            centers = ((coors + 0.5) * self.cfg.ae_voxel_size
-                       - size / 2).astype(np.float32)
+            centers = occ_iou_mod.dense_voxel_centers(
+                rois[j, 3:6], self.cfg.ae_voxel_size)
             n = min(len(centers), Kq)
             queries[j, :n] = centers[:n]
             qvalid[j, :n] = True
@@ -357,7 +354,7 @@ class Evaluator:
             d = os.path.join(out_root, rec.segment_name, str(ts[j]))
             os.makedirs(d, exist_ok=True)
             out.astype(np.float32).tofile(
-                os.path.join(d, f"1_{rec.id}.bin"))
+                os.path.join(d, f"{rec.type}_{rec.id}.bin"))
 
     def _eval_occ_one(self, i, rec, padded, pred, T, acc):
         if self.ds.occ_anno_root is None:

@@ -91,6 +91,20 @@ class OccIoUAccumulator:
         return out
 
 
+def dense_voxel_centers(size, voxel_size: float) -> np.ndarray:
+    """Voxel centers of a size-fitted grid in the gravity-centered box frame
+    — host-side mirror of the reference ``generate_dense_voxel_centers``
+    (``ops/occ/occ_ops.py:5-50``): dims = ceil(size/vs), center of cell
+    ``c`` at ``c*vs - size/2 + vs/2`` (reference-executed parity in
+    ``tests/test_reference_parity.py``)."""
+    size = np.asarray(size, np.float64)
+    dims = np.maximum(np.ceil(size / voxel_size), 1).astype(int)
+    coors = np.stack(np.meshgrid(*[np.arange(d) for d in dims],
+                                 indexing="ij"), -1).reshape(-1, 3)
+    return (coors * voxel_size - size / 2
+            + voxel_size / 2).astype(np.float32)
+
+
 def load_full_occ_queries(occ_path: str, voxel_size: float,
                           max_queries: int):
     """All known voxel centers + labels from an occ npz, padded to

@@ -60,7 +60,11 @@ class CenterHead(nn.Module):
 # ------------------------------------------------------------------ targets
 def gaussian_radius(l: jax.Array, w: jax.Array, min_overlap: float = 0.1
                     ) -> jax.Array:
-    """Reference ``core/utils/gaussian.py`` three-case radius, elementwise."""
+    """Reference ``core/utils/gaussian.py:56-85`` three-case radius,
+    elementwise. NOTE: the reference (mmdet3d's CornerNet variant) divides
+    every root by 2, NOT by 2a — r2/r3 are therefore 4x / 4*min_overlap x
+    the textbook quadratic root. Reproduced verbatim for parity
+    (reference-executed test in tests/test_reference_parity.py)."""
     a1 = 1.0
     b1 = l + w
     c1 = w * l * (1 - min_overlap) / (1 + min_overlap)
@@ -68,11 +72,11 @@ def gaussian_radius(l: jax.Array, w: jax.Array, min_overlap: float = 0.1
     a2 = 4.0
     b2 = 2 * (l + w)
     c2 = (1 - min_overlap) * w * l
-    r2 = (b2 + jnp.sqrt(jnp.clip(b2**2 - 4 * a2 * c2, 0, None))) / (2 * a2)
+    r2 = (b2 + jnp.sqrt(jnp.clip(b2**2 - 4 * a2 * c2, 0, None))) / 2
     a3 = 4 * min_overlap
     b3 = -2 * min_overlap * (l + w)
     c3 = (min_overlap - 1) * w * l
-    r3 = (b3 + jnp.sqrt(jnp.clip(b3**2 - 4 * a3 * c3, 0, None))) / (2 * a3)
+    r3 = (b3 + jnp.sqrt(jnp.clip(b3**2 - 4 * a3 * c3, 0, None))) / 2
     return jnp.minimum(jnp.minimum(r1, r2), r3)
 
 
@@ -97,13 +101,18 @@ def make_targets(gt_boxes: jax.Array, gt_labels: jax.Array,
     radius = jnp.clip(jnp.floor(gaussian_radius(dl, dw, gaussian_overlap)),
                       min_radius, None)
 
-    # render all gaussians at once: [M, H, W]
+    # render all gaussians at once: [M, H, W]. Matches the reference
+    # draw_heatmap_gaussian (core/utils/gaussian.py:24-53) exactly:
+    # sigma = diameter/6 = (2r+1)/6, support cropped to the radius window
     yy = jnp.arange(H)[None, :, None]
     xx = jnp.arange(W)[None, None, :]
-    g = jnp.exp(-(((xx - ix[:, None, None]) ** 2
-                   + (yy - iy[:, None, None]) ** 2)
-                  / (2 * (radius[:, None, None] / 3) ** 2)))
-    g = jnp.where(mask[:, None, None], g, 0.0)
+    dx = xx - ix[:, None, None]
+    dy = yy - iy[:, None, None]
+    sigma = (2.0 * radius[:, None, None] + 1.0) / 6.0
+    g = jnp.exp(-(dx ** 2 + dy ** 2) / (2 * sigma ** 2))
+    r = radius[:, None, None]
+    window = (jnp.abs(dx) <= r) & (jnp.abs(dy) <= r)
+    g = jnp.where(window & mask[:, None, None], g, 0.0)
     heatmap = jnp.zeros((num_classes, H, W))
     lab = jnp.clip(gt_labels, 0, num_classes - 1)
     heatmap = jax.ops.segment_max(g, lab, num_segments=num_classes)
