@@ -1,1 +1,2 @@
-from .ococcnet_config import OcOccNetConfig, tiny_config  # noqa: F401
+from .ococcnet_config import (OcOccNetConfig, ctrl_cyc_config,  # noqa: F401
+                              ctrl_ped_config, ctrl_veh_config, tiny_config)

@@ -116,11 +116,14 @@ def write_bin(objects: list[WaymoObject], path: str) -> None:
 
 def tracklets_to_objects(tracklets: list[dict],
                          class_names=("Car",)) -> list[WaymoObject]:
-    """Each tracklet dict: segment_name, id, type (class index), boxes [T,7]
-    in per-frame EGO coords, scores [T], ts [T]."""
+    """Each tracklet dict: segment_name, id, boxes [T,7] in per-frame EGO
+    coords, scores [T], ts [T], and either ``waymo_type`` (the Waymo object
+    type id, 1 vehicle / 2 ped / 4 cyclist) or ``type`` (index into
+    ``class_names``)."""
     out = []
     for trk in tracklets:
-        wtype = _CLASS_TO_WAYMO[class_names[trk["type"]]]
+        wtype = (int(trk["waymo_type"]) if "waymo_type" in trk
+                 else _CLASS_TO_WAYMO[class_names[trk["type"]]])
         for box, score, ts in zip(trk["boxes"], trk["scores"], trk["ts"]):
             out.append(WaymoObject(tuple(box), float(score), wtype,
                                    trk["id"], trk["segment_name"], int(ts)))
