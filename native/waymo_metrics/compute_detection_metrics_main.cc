@@ -295,15 +295,20 @@ std::vector<int> MaxWeightAssign(const std::vector<std::vector<double>>& b) {
   int nc = nr ? int(b[0].size()) : 0;
   int n = std::max(nr, nc);
   if (n == 0) return {};
-  const double kBig = 1e9;
-  // cost matrix (minimize), padded square; forbidden/dummy pairs cost 0
-  // relative to "unmatched" via kBig ceiling on real benefits.
+  // cost matrix (minimize), padded square. Forbidden/dummy pairs carry the
+  // cost of a zero-IoU benefit (1.0), NOT a huge penalty: the official
+  // Hungarian matcher maximizes the TOTAL matched IoU (below-threshold
+  // pairs contribute zero weight and are filtered after the assignment) —
+  // a huge forbidden cost would instead maximize match cardinality first,
+  // which over-counts TPs whenever sacrificing one high-IoU pair enables
+  // two mediocre ones (divergence caught by the numpy differential fuzz,
+  // tests/test_waymo_metrics_differential.py).
   std::vector<std::vector<double>> a(n + 1,
-                                     std::vector<double>(n + 1, kBig));
+                                     std::vector<double>(n + 1, 1.0));
   for (int i = 0; i < n; ++i)
     for (int j = 0; j < n; ++j) {
       double w = (i < nr && j < nc) ? b[i][j] : -1.0;
-      a[i + 1][j + 1] = (w >= 0) ? (1.0 - w) : kBig;
+      a[i + 1][j + 1] = (w >= 0) ? (1.0 - w) : 1.0;
     }
   // standard potentials-based Hungarian on rows
   std::vector<double> u(n + 1, 0), v(n + 1, 0);
@@ -354,12 +359,17 @@ std::vector<int> MaxWeightAssign(const std::vector<std::vector<double>>& b) {
   return match;
 }
 
-// Official-style AP integration: points ordered by increasing recall;
-// a recall gap beyond kRecallDelta contributes zero precision.
+// Official-style AP integration: points ordered by increasing recall with
+// the PASCAL/Waymo precision envelope (p(r) := max precision over points
+// with recall >= r) applied first — without it the value at tied recalls
+// depends on cutoff ordering (caught by the numpy differential fuzz). A
+// recall gap beyond kRecallDelta contributes zero precision.
 constexpr double kRecallDelta = 0.05;
 
 double IntegrateAP(const std::vector<double>& recall,
-                   const std::vector<double>& precision) {
+                   std::vector<double> precision) {
+  for (int i = int(precision.size()) - 2; i >= 0; --i)
+    precision[i] = std::max(precision[i], precision[i + 1]);
   double ap = 0, last_r = 0;
   for (size_t i = 0; i < recall.size(); ++i) {
     double dr = recall[i] - last_r;

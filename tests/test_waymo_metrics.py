@@ -163,8 +163,10 @@ def test_false_positive_lowers_ap(tmp_path):
     write_bin(gts, str(tmp_path / "gt.bin"))
     m = compute_metrics(str(tmp_path / "pd.bin"), str(tmp_path / "gt.bin"))
     ap = m["OBJECT_TYPE_TYPE_VEHICLE_LEVEL_1/mAP"]
-    # at cutoff passing i true positives: r=i/20, p=i/(i+1)
-    expect = sum(0.05 * i / (i + 1) for i in range(1, 21))
+    # at cutoff passing i true positives: r=i/20, p=i/(i+1); the precision
+    # envelope lifts every point to the best dominating operating point
+    # max_{j>=i} j/(j+1) = 20/21, so AP = 20 * 0.05 * 20/21
+    expect = sum(0.05 * 20 / 21 for i in range(1, 21))
     assert ap == pytest.approx(expect, abs=1e-6)
     assert ap < 1.0
 
