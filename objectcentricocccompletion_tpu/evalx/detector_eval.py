@@ -118,10 +118,9 @@ def _sequential_results(model, params, dataset, score_thresh, nms_iou,
                 return
             s = dataset.build_sample(idx, rng)
             if mem is None:
-                m = model.cfg.memory_size
-                mem = SequenceState(
-                    jnp.zeros((m, s["points"].shape[-1])),
-                    jnp.zeros((m,), bool))
+                from ..models.fsdpp import init_sequence_state
+                mem = init_sequence_state(model.cfg,
+                                          s["points"].shape[-1])
             mem, (b, sc, lb, ok) = step(params, mem, s["points"],
                                         s["points_mask"])
             b, sc, lb, ok = (np.asarray(x) for x in (b, sc, lb, ok))

@@ -96,27 +96,52 @@ class SequenceLoader:
         return out
 
 
-def make_seq_train_step(model: FSDPP, tx, window: int):
-    """(params, opt_state, window_batch, mem_state) ->
-    (params, opt_state, new_mem, metrics). The memory is carried in-graph
-    across the window's frames and returned for the next window of the same
-    sequence (or reset by the caller at sequence boundaries)."""
+def make_seq_train_step(model: FSDPP, tx, window: int,
+                        seed_aug: bool = True):
+    """(params, opt_state, window_batch, mem_state, rng) ->
+    (params, opt_state, new_mem, metrics). The memory AND seed boxes are
+    carried in-graph across the window's frames and returned for the next
+    window of the same sequence (or reset by the caller at sequence
+    boundaries).
+
+    ``seed_aug`` applies the reference's training seed augmentation
+    (``preprocess_seed`` noise_cfg, ``two_stage_fsdpp.py:860-940``):
+    random-FP insertion plus track-consistent seed dropout whose keep
+    decisions chain across the window's frames."""
 
     loss_call = fsd_loss
     if getattr(model.cfg, "two_stage", False):
         from ..models.fsd_two_stage import two_stage_loss
         loss_call = two_stage_loss
+    cfg = model.cfg
+    use_seed_aug = (seed_aug and getattr(cfg, "use_seeds", False)
+                    and (cfg.seed_fp_rate > 0 or cfg.seed_drop_rate > 0))
 
-    def step_fn(params, opt_state, batch: SeqWindow, mem: SequenceState):
+    def step_fn(params, opt_state, batch: SeqWindow, mem: SequenceState,
+                rng: jax.Array):
         def loss_fn(p):
             losses = []
             m = mem
+            chain = None    # (boxes, valid, keep) dropout carry
             for w in range(window):
+                seeds_in = None
+                if use_seed_aug:
+                    from ..ops import seeds as seed_ops
+                    r_drop, r_fp = jax.random.split(
+                        jax.random.fold_in(rng, w))
+                    s = m.seeds
+                    keep = seed_ops.seed_dropout_step(
+                        *(chain if chain is not None else (None,) * 3),
+                        s.boxes, s.valid, r_drop, cfg.seed_drop_rate)
+                    chain = (s.boxes, s.valid, keep)
+                    s = seed_ops.Seeds(s.boxes, s.labels, s.scores, keep)
+                    seeds_in = seed_ops.seed_fp_insertion(
+                        s, r_fp, cfg.seed_fp_rate)
                 # FSD++ runs on memory+frame; the loss's per-point targets
                 # must align with that merged cloud (pre-update memory).
                 merged_pts = jnp.concatenate([batch.points[w], m.memory], 0)
                 m, out = model.apply({"params": p}, m, batch.points[w],
-                                     batch.points_mask[w])
+                                     batch.points_mask[w], seeds_in)
                 losses.append(loss_call(out, merged_pts,
                                         batch.gt_boxes[w],
                                         batch.gt_labels[w],
@@ -160,11 +185,10 @@ def train_fsdpp(model: FSDPP, dataset, work_dir: str, total_steps: int,
     win_carry = loader.carry
     feat_dim = win.points.shape[-1]
 
+    from ..models.fsdpp import init_sequence_state
     cpu = jax.devices("cpu")[0]
     with jax.default_device(cpu):
-        mem0 = SequenceState(
-            jnp.zeros((model.cfg.memory_size, feat_dim)),
-            jnp.zeros((model.cfg.memory_size,), bool))
+        mem0 = init_sequence_state(model.cfg, feat_dim)
         params = model.init(jax.random.PRNGKey(seed), mem0, win.points[0],
                             win.points_mask[0])["params"]
         tx, _ = make_optimizer(base_lr, total_steps)
@@ -185,16 +209,18 @@ def train_fsdpp(model: FSDPP, dataset, work_dir: str, total_steps: int,
     step_fn = make_seq_train_step(model, tx, window)
     t_last = time.time()
     mem = jax.device_put(mem0)
+    base_rng = jax.random.PRNGKey(seed + 1)
     for step in range(start, total_steps):
         if step > start:
             batch = next(loader)
             carry = loader.carry
         else:
             batch, carry = win, win_carry
-        if not carry:          # sequence boundary: fresh point memory
+        if not carry:   # sequence boundary: fresh point memory + seeds
             mem = jax.device_put(mem0)
-        params, opt_state, mem, aux = step_fn(params, opt_state, batch,
-                                              mem)
+        params, opt_state, mem, aux = step_fn(
+            params, opt_state, batch, mem,
+            jax.random.fold_in(base_rng, step))
         if (step + 1) % log_interval == 0:
             aux = jax.device_get(aux)
             dt = (time.time() - t_last) / log_interval

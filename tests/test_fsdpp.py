@@ -14,9 +14,9 @@ def test_fsdpp_sequence_steps():
     points, mask, *_ = make_fsd_frame(cfg.fsd, seed=0)
     feat_dim = points.shape[-1]
 
-    from objectcentricocccompletion_tpu.models.fsdpp import SequenceState
-    state0 = SequenceState(jnp.zeros((cfg.memory_size, feat_dim)),
-                           jnp.zeros((cfg.memory_size,), bool))
+    from objectcentricocccompletion_tpu.models.fsdpp import \
+        init_sequence_state
+    state0 = init_sequence_state(cfg, feat_dim)
 
     variables = model.init(jax.random.PRNGKey(0), state0, points, mask)
     st1, out1 = model.apply(variables, state0, points, mask)
@@ -70,18 +70,21 @@ def test_fsdpp_sequential_training_step():
     loader = SequenceLoader(ds, window=2, seed=0)
     win = next(loader)
     feat_dim = win.points.shape[-1]
-    mem = SequenceState(jnp.zeros((cfg.memory_size, feat_dim)),
-                        jnp.zeros((cfg.memory_size,), bool))
+    from objectcentricocccompletion_tpu.models.fsdpp import \
+        init_sequence_state
+    mem = init_sequence_state(cfg, feat_dim)
     params = model.init(jax.random.PRNGKey(0), mem, win.points[0],
                         win.points_mask[0])["params"]
     tx = optax.adam(1e-4)
     opt = tx.init(params)
     step = make_seq_train_step(model, tx, window=2)
     p0 = jax.tree_util.tree_leaves(params)[0].copy()
-    params, opt, mem, aux = step(params, opt, win, mem)
+    params, opt, mem, aux = step(params, opt, win, mem,
+                                 jax.random.PRNGKey(1))
     assert np.isfinite(float(aux["loss"]))
     assert int(np.asarray(mem.memory_mask).sum()) > 0
-    params, opt, mem, aux2 = step(params, opt, next(loader), mem)
+    params, opt, mem, aux2 = step(params, opt, next(loader), mem,
+                                  jax.random.PRNGKey(2))
     assert np.isfinite(float(aux2["loss"]))
     assert not np.allclose(np.asarray(jax.tree_util.tree_leaves(params)[0]),
                            np.asarray(p0))

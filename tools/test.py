@@ -13,8 +13,13 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(
 
 def main():
     p = argparse.ArgumentParser()
-    p.add_argument("model", choices=["ococcnet", "centerpoint", "sst",
-                                     "fsd", "fsd2", "fsdpp", "votenet"])
+    p.add_argument("model", choices=["ococcnet", "ctrl", "centerpoint",
+                                     "sst", "fsd", "fsd2", "fsdpp",
+                                     "votenet"])
+    p.add_argument("--ctrl-class", choices=["veh", "ped", "cyc"],
+                   default="veh",
+                   help="CTRL variant class (configs/ctrl/"
+                        "ctrl_{veh,ped,cyc}_*.py)")
     # tracklet-family inputs (ococcnet)
     p.add_argument("--proposals")
     p.add_argument("--gt-candidates")
@@ -51,11 +56,14 @@ def main():
     if args.cpu:
         jax.config.update("jax_platforms", "cpu")
 
-    if args.model != "ococcnet":
+    if args.model not in ("ococcnet", "ctrl"):
         _eval_detector(args)
         return
-    from objectcentricocccompletion_tpu.configs import (OcOccNetConfig,
-                                                        tiny_config)
+    import dataclasses
+
+    from objectcentricocccompletion_tpu.configs import (
+        OcOccNetConfig, ctrl_cyc_config, ctrl_ped_config, ctrl_veh_config,
+        tiny_config)
     from objectcentricocccompletion_tpu.data.loader import TrainLoader
     from objectcentricocccompletion_tpu.data.tracklet_dataset import \
         TrackletDataset
@@ -66,18 +74,33 @@ def main():
     from objectcentricocccompletion_tpu.training.trainer import \
         CheckpointManager
 
-    cfg = tiny_config() if args.tiny else OcOccNetConfig()
+    if args.model == "ctrl":
+        # CTRL tracklet refinement (W6): same tracklet data/eval path as
+        # ococcnet with the per-class ctrl config (no occupancy branch) —
+        # reference `tools/dist_test.sh configs/ctrl/ctrl_veh_24e.py`
+        full = {"veh": ctrl_veh_config, "ped": ctrl_ped_config,
+                "cyc": ctrl_cyc_config}[args.ctrl_class]()
+        cfg = (dataclasses.replace(
+            tiny_config(), variant="ctrl", class_names=full.class_names,
+            cls_pos_thr=full.cls_pos_thr, cls_neg_thr=full.cls_neg_thr,
+            corner_loss_weight=full.corner_loss_weight)
+            if args.tiny else full)
+        args.no_occ = True   # no occupancy decoder in the CTRL variant
+    else:
+        cfg = tiny_config() if args.tiny else OcOccNetConfig()
     ds = TrackletDataset(
         proposals_file=args.proposals,
         gt_candidates_file=args.gt_candidates,
         pose_file=args.poses, occ_anno_root=args.occ_root, cfg=cfg,
+        class_names=cfg.class_names,
         training=False, min_tracklet_length=1)
     print(f"dataset: {len(ds)} tracklets")
 
     ds_init = TrackletDataset(
         proposals_file=args.proposals,
         gt_candidates_file=args.gt_candidates,
-        pose_file=args.poses, occ_anno_root=args.occ_root, cfg=cfg)
+        pose_file=args.poses, occ_anno_root=args.occ_root, cfg=cfg,
+        class_names=cfg.class_names)
     sample = next(TrainLoader(ds_init, 1))
     cpu = jax.devices("cpu")[0]
     with jax.default_device(cpu):
@@ -178,11 +201,8 @@ def _eval_detector(args):
     with jax.default_device(cpu):
         if args.model == "fsdpp":
             from objectcentricocccompletion_tpu.models.fsdpp import \
-                SequenceState
-            mem0 = SequenceState(
-                jnp.zeros((model.cfg.memory_size,
-                           sample.points.shape[-1])),
-                jnp.zeros((model.cfg.memory_size,), bool))
+                init_sequence_state
+            mem0 = init_sequence_state(model.cfg, sample.points.shape[-1])
             params = model.init(jax.random.PRNGKey(0), mem0,
                                 sample.points[0],
                                 sample.points_mask[0])["params"]
