@@ -41,13 +41,46 @@ def project_to_range_image(points_ego: np.ndarray, extrinsic: np.ndarray,
     return rows.astype(np.int64), cols, ranges
 
 
+def rollpitchyaw_to_matrices(pose6: np.ndarray
+                             ) -> tuple[np.ndarray, np.ndarray]:
+    """[N, 6] (roll, pitch, yaw, x, y, z) -> ([N, 3, 3] R = Rz Ry Rx,
+    [N, 3] t) — the waymo ``range_image_top_pose`` encoding."""
+    roll, pitch, yaw = pose6[:, 0], pose6[:, 1], pose6[:, 2]
+    cr, sr = np.cos(roll), np.sin(roll)
+    cp, sp = np.cos(pitch), np.sin(pitch)
+    cy, sy = np.cos(yaw), np.sin(yaw)
+    R = np.empty((len(pose6), 3, 3))
+    R[:, 0, 0] = cy * cp
+    R[:, 0, 1] = cy * sp * sr - sy * cr
+    R[:, 0, 2] = cy * sp * cr + sy * sr
+    R[:, 1, 0] = sy * cp
+    R[:, 1, 1] = sy * sp * sr + cy * cr
+    R[:, 1, 2] = sy * sp * cr - cy * sr
+    R[:, 2, 0] = -sp
+    R[:, 2, 1] = cp * sr
+    R[:, 2, 2] = cp * cr
+    return R, pose6[:, 3:6]
+
+
 def range_image_to_points(ri_range: np.ndarray, extrinsic: np.ndarray,
-                          inclinations: np.ndarray) -> np.ndarray:
+                          inclinations: np.ndarray,
+                          pixel_pose: np.ndarray | None = None,
+                          frame_pose: np.ndarray | None = None
+                          ) -> np.ndarray:
     """Inverse of :func:`project_to_range_image`: a [H, W] range image ->
     ego-frame xyz points (cells with range <= 0 are dropped).
 
     ``inclinations`` [H] must be aligned with the image rows (Waymo stores
     row 0 = highest beam, i.e. descending).
+
+    Rolling-shutter pose correction (official
+    ``extract_point_cloud_from_range_image`` semantics, used by the
+    reference converter via ``range_image_top_pose``,
+    ``tools/data_converter/waymo_converter.py:660-670``): when
+    ``pixel_pose`` [H, W, 6] (roll/pitch/yaw/xyz per pixel, world frame)
+    and ``frame_pose`` [4, 4] are given, each point moves
+    vehicle -> world via its own pixel pose and back to the frame's
+    vehicle pose — pixels whose pose row is all-zero stay uncorrected.
     """
     H, W = ri_range.shape
     az_corr = np.arctan2(extrinsic[1, 0], extrinsic[0, 0])
@@ -61,7 +94,16 @@ def range_image_to_points(ri_range: np.ndarray, extrinsic: np.ndarray,
                      np.broadcast_to(si, (H, W))], -1)      # [H, W, 3]
     valid = ri_range > 0
     pts_sensor = dirs[valid] * ri_range[valid][:, None]
-    return pts_sensor @ extrinsic[:3, :3].T + extrinsic[:3, 3]
+    pts = pts_sensor @ extrinsic[:3, :3].T + extrinsic[:3, 3]
+    if pixel_pose is None or frame_pose is None:
+        return pts
+    pp = np.asarray(pixel_pose)[valid]                      # [N, 6]
+    has_pose = np.any(pp != 0, axis=-1)
+    R, t = rollpitchyaw_to_matrices(pp)
+    world = np.einsum("nij,nj->ni", R, pts) + t
+    inv = np.linalg.inv(frame_pose)
+    corrected = world @ inv[:3, :3].T + inv[:3, 3]
+    return np.where(has_pose[:, None], corrected, pts)
 
 
 def build_virtual_range_image(points_ego: np.ndarray, extrinsic: np.ndarray,

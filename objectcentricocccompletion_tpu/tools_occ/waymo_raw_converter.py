@@ -17,11 +17,11 @@ waymo_open_dataset imports:
     same hand-rolled reader style as ``evalx/waymo_bin.py``. Field numbers
     mirror the public waymo-open-dataset ``dataset.proto``.
 
-Known divergence from the reference: the official converter rebuilds points
-with per-column rolling-shutter pose correction
-(``range_image_top_pose``); this implementation reconstructs points from
-the plain spherical projection (the virtual re-projection that follows is
-identical). The synthetic-fixture round trip in
+Rolling-shutter pose correction matches the official converter: the TOP
+lidar's ``range_image_pose_compressed`` (per-pixel world pose) rebuilds
+each column's points at its true capture pose and maps them back through
+the frame pose (``range_image.range_image_to_points`` with
+``pixel_pose``/``frame_pose``). The synthetic-fixture round trip in
 ``tests/test_waymo_raw_converter.py`` pins the full pipeline.
 """
 from __future__ import annotations
@@ -160,21 +160,30 @@ def _parse_calibration(buf: bytes) -> dict:
     return out
 
 
-def _parse_range_image(buf: bytes) -> np.ndarray | None:
-    """RangeImage { range_image_compressed = 2 (zlib MatrixFloat) } ->
-    [H, W, C] (channel 0 = range)."""
+def _parse_range_image(buf: bytes
+                       ) -> tuple[np.ndarray | None, np.ndarray | None]:
+    """RangeImage { range_image_compressed = 2;
+    range_image_pose_compressed = 4 (both zlib MatrixFloat) } ->
+    ([H, W, C] channel 0 = range, [H, W, 6] per-pixel pose or None).
+    The pose image exists only on the TOP lidar's first return."""
+    ri = pose = None
     for field, wire, v in _fields(buf):
         if field == 2 and wire == 2:
-            return _parse_matrix_float(zlib.decompress(v))
-    return None
+            ri = _parse_matrix_float(zlib.decompress(v))
+        elif field == 4 and wire == 2:
+            pose = _parse_matrix_float(zlib.decompress(v))
+    return ri, pose
 
 
 def parse_frame(buf: bytes) -> dict:
     """Frame { context = 1 { laser_calibrations = 3 }; timestamp = 2;
-    lasers = 5 { name = 1; ri_return1 = 2; ri_return2 = 3 } }."""
+    pose = 3 (Transform); lasers = 5 { name = 1; ri_return1 = 2;
+    ri_return2 = 3 } }."""
     cals = {}
     lasers = {}
     ts = 0
+    pose = None
+    pixel_pose = None
     for field, wire, v in _fields(buf):
         if field == 1 and wire == 2:
             for f2, w2, v2 in _fields(v):
@@ -183,6 +192,10 @@ def parse_frame(buf: bytes) -> dict:
                     cals[cal["name"]] = cal
         elif field == 2 and wire == 0:
             ts = int(v)
+        elif field == 3 and wire == 2:            # frame pose Transform
+            for f2, w2, v2 in _fields(v):
+                if f2 == 1 and w2 == 2:
+                    pose = _packed_doubles(v2).reshape(4, 4)
         elif field == 5 and wire == 2:
             name = 0
             ri1 = ri2 = None
@@ -190,11 +203,14 @@ def parse_frame(buf: bytes) -> dict:
                 if f2 == 1 and w2 == 0:
                     name = int(v2)
                 elif f2 == 2 and w2 == 2:
-                    ri1 = _parse_range_image(v2)
+                    ri1, pp = _parse_range_image(v2)
+                    if pp is not None:
+                        pixel_pose = pp
                 elif f2 == 3 and w2 == 2:
-                    ri2 = _parse_range_image(v2)
+                    ri2, _ = _parse_range_image(v2)
             lasers[name] = (ri1, ri2)
-    return dict(calibrations=cals, lasers=lasers, timestamp=ts)
+    return dict(calibrations=cals, lasers=lasers, timestamp=ts,
+                pose=pose, top_pixel_pose=pixel_pose)
 
 
 # ------------------------------------------------------------ conversion
@@ -221,6 +237,12 @@ def frame_to_raw(frame: dict) -> dict:
         # BEAM_INCLINATION stored DESCENDING, virtual range image rows in
         # ASCENDING beam order (it flips the inclinations on read)
         out[f"{name}_BEAM_INCLINATION"] = incl_desc.astype(np.float32)
+        # rolling-shutter correction: the TOP lidar's per-pixel pose image
+        # rebuilds each column's points at its true capture pose
+        # (waymo_converter.py:660-670; missing in round 2)
+        pixel_pose = (frame.get("top_pixel_pose")
+                      if name == "TOP" else None)
+        frame_pose = frame.get("pose")
         pts = []
         width = None
         for ri in ris:
@@ -228,7 +250,10 @@ def frame_to_raw(frame: dict) -> dict:
                 continue
             rng = ri[..., 0] if ri.ndim == 3 else ri
             width = rng.shape[1]
-            pts.append(range_image_to_points(rng, extrinsic, incl_desc))
+            pp = (pixel_pose if pixel_pose is not None
+                  and pixel_pose.shape[:2] == rng.shape else None)
+            pts.append(range_image_to_points(rng, extrinsic, incl_desc,
+                                             pp, frame_pose))
         if not pts or width is None:
             continue
         pts_ego = np.concatenate(pts, 0)

@@ -197,3 +197,79 @@ def test_convert_segment_and_annotate(tmp_path):
     occ = np.load(out)["occ"]
     frac_free = (occ == 2).mean()
     assert frac_free > 0.5, f"expected mostly free, got {frac_free}"
+
+
+def encode_frame_with_pose(ts, calibrations, lasers, frame_pose=None,
+                           pixel_pose=None):
+    """encode_frame + Frame.pose (field 3) and the TOP return-1
+    range_image_pose_compressed (RangeImage field 4)."""
+    ctx = b"".join(_bytes_f(3, encode_calibration(*c)) for c in calibrations)
+    out = _bytes_f(1, ctx) + _int_f(2, ts)
+    if frame_pose is not None:
+        tr = _bytes_f(1, np.asarray(frame_pose, "<f8").reshape(-1).tobytes())
+        out += _bytes_f(3, tr)
+    for name, ri1, ri2 in lasers:
+        ri1_msg = encode_range_image(ri1)
+        if pixel_pose is not None and name == 1:
+            ri1_msg += _bytes_f(4, zlib.compress(
+                encode_matrix_float(pixel_pose)))
+        laser = _int_f(1, name) + _bytes_f(2, ri1_msg)
+        if ri2 is not None:
+            laser += _bytes_f(3, encode_range_image(ri2))
+        out += _bytes_f(5, laser)
+    return out
+
+
+def test_rolling_shutter_pose_correction_math():
+    """Per-pixel pose correction: vehicle -> pixel world pose -> back
+    through the frame pose (official extract_point_cloud semantics)."""
+    from objectcentricocccompletion_tpu.tools_occ.range_image import \
+        rollpitchyaw_to_matrices
+    rng = np.random.RandomState(1)
+    H, W = 16, 128
+    incl_desc = np.flip(np.linspace(-0.3, 0.25, H))
+    ext = np.eye(4)
+    pts = rng.uniform(-15, 15, (100, 3))
+    pts[:, 2] = rng.uniform(-1, 3, 100)
+    ri = make_range_image(H, W, pts, ext, incl_desc)
+
+    # constant rigid pixel pose (yaw + translation), frame pose = another
+    yaw = 0.3
+    pose6 = np.zeros((H, W, 6), np.float32)
+    pose6[..., 2] = yaw
+    pose6[..., 3:6] = [5.0, -2.0, 0.5]
+    frame_pose = np.eye(4)
+    frame_pose[:3, 3] = [1.0, 2.0, 0.0]
+
+    plain = range_image_to_points(ri[..., 0], ext, incl_desc)
+    corr = range_image_to_points(ri[..., 0], ext, incl_desc, pose6,
+                                 frame_pose)
+    R, t = rollpitchyaw_to_matrices(pose6.reshape(-1, 6)[:1])
+    expect = plain @ R[0].T + t[0] - frame_pose[:3, 3]
+    np.testing.assert_allclose(corr, expect, atol=1e-5)
+
+    # all-zero pose rows stay uncorrected
+    corr0 = range_image_to_points(ri[..., 0], ext, incl_desc,
+                                  np.zeros((H, W, 6)), frame_pose)
+    np.testing.assert_allclose(corr0, plain, atol=1e-6)
+
+
+def test_frame_proto_pose_parsing_and_conversion():
+    H, W = 8, 64
+    incl = np.linspace(-0.3, 0.2, H)
+    ext = np.eye(4)
+    ri = np.zeros((H, W, 4), np.float32)
+    ri[3, 10, 0] = 12.5
+    pose6 = np.zeros((H, W, 6), np.float32)
+    pose6[..., 2] = 0.1
+    frame_pose = np.eye(4)
+    frame_pose[:3, 3] = [10.0, 0.0, 0.0]
+    buf = encode_frame_with_pose(5, [(1, incl, ext)], [(1, ri, None)],
+                                 frame_pose, pose6)
+    frame = wc.parse_frame(buf)
+    np.testing.assert_allclose(frame["pose"], frame_pose)
+    np.testing.assert_allclose(frame["top_pixel_pose"], pose6)
+    # frame_to_raw consumes the pose without error and produces the TOP
+    # virtual range image
+    out = wc.frame_to_raw(frame)
+    assert "TOP_RANGE_IMAGE_MERGE_VIRTUAL" in out
