@@ -106,7 +106,7 @@ class OccAnnotator:
     def __init__(self, get_points, get_raw_frame, out_dir: str,
                  voxel_size: float = 0.2, min_track_len: int = 10,
                  lidar_names=LIDAR_NAMES, voxel_chunk: int = 8192,
-                 overwrite: bool = False):
+                 overwrite: bool = False, save_mean_var: bool = False):
         self.get_points = get_points
         self.get_raw_frame = get_raw_frame
         self.out_dir = out_dir
@@ -115,6 +115,7 @@ class OccAnnotator:
         self.lidar_names = lidar_names
         self.voxel_chunk = voxel_chunk
         self.overwrite = overwrite
+        self.save_mean_var = save_mean_var
 
     def annotate_trk(self, segment_name: str, trk_id: str,
                      boxes: np.ndarray, ts_list: list) -> str | None:
@@ -160,7 +161,27 @@ class OccAnnotator:
             centers = (unknown + 0.5) * self.voxel_size + min_bound
             vis = self._visibility(centers, boxes, ts_list)
             result[unknown[:, 0], unknown[:, 1], unknown[:, 2]] = vis
-        np.savez(out_name, occ=result)
+        if self.save_mean_var:
+            # per-occupied-voxel mean/variance of the aggregated points
+            # (reference occ_annotate.py:627-645 save_mean_var): npz gains
+            # mean_var [X, Y, Z, 6] = [mean_xyz, var_xyz], zeros elsewhere
+            mv = np.zeros(tuple(dims) + (6,), np.float32)
+            flat = np.ravel_multi_index(coors.T, tuple(dims))
+            order = np.argsort(flat, kind="stable")
+            flat_s = flat[order]
+            pts_s = agg[ok][order]
+            uniq, start = np.unique(flat_s, return_index=True)
+            sums = np.add.reduceat(pts_s, start, axis=0)
+            sq = np.add.reduceat(pts_s ** 2, start, axis=0)
+            cnt = np.diff(np.append(start, len(flat_s)))[:, None]
+            mean = sums / cnt
+            var = np.maximum(sq / cnt - mean ** 2, 0.0)
+            ix = np.stack(np.unravel_index(uniq, tuple(dims)), -1)
+            mv[ix[:, 0], ix[:, 1], ix[:, 2]] = np.concatenate(
+                [mean, var], -1)
+            np.savez(out_name, occ=result, mean_var=mv)
+        else:
+            np.savez(out_name, occ=result)
         return out_name
 
     def _visibility(self, centers: np.ndarray, boxes: np.ndarray,

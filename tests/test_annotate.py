@@ -140,3 +140,40 @@ def test_range_image_projection_roundtrip():
     far = pts * 2.0
     fr, fc, frange = project_to_range_image(far, extrinsic, incl, 2650)
     assert (ri[fr, fc] < frange - 1.0).mean() > 0.95
+
+
+def test_annotator_mean_var_dump(tmp_path):
+    """save_mean_var: npz gains mean_var [X, Y, Z, 6] with per-occupied-
+    voxel mean and variance of the aggregated local points (reference
+    occ_annotate.py:627-645)."""
+    boxes, ts_list, get_points, get_raw_frame = make_scene()
+    ann = OccAnnotator(get_points, get_raw_frame, str(tmp_path),
+                       voxel_size=0.2, lidar_names=("TOP",),
+                       save_mean_var=True)
+    out = ann.annotate_trk("seg-mv", "trk-1", boxes, ts_list)
+    data = np.load(out)
+    occ, mv = data["occ"], data["mean_var"]
+    assert mv.shape == occ.shape + (6,)
+    occupied = occ == 1
+    # every occupied voxel has a mean inside its own cell bounds
+    means = mv[occupied][:, :3]
+    assert (np.abs(means).max() < max(occ.shape) * 0.2 + 1e-6)
+    assert (mv[occupied][:, 3:] >= 0).all()          # variances
+    assert not mv[~occupied].any()                   # zeros elsewhere
+    # spot-check one voxel against a direct computation
+    pts = get_points(ts_list[0])
+    from objectcentricocccompletion_tpu.tools_occ.annotate import (
+        local_frame_points, points_in_box_mask)
+    local = np.concatenate([
+        local_frame_points(pts[points_in_box_mask(pts, boxes[i])],
+                           boxes[i]) for i in range(len(boxes))], 0)
+    size = boxes[:, 3:6].max(0)
+    dims = np.maximum(np.ceil(size / 0.2).astype(int), 1)
+    min_bound = np.array([-size[0] / 2, -size[1] / 2, 0.0])
+    coors = np.floor((local - min_bound) / 0.2).astype(int)
+    ok = ((coors >= 0) & (coors < dims)).all(1)
+    coors, local = coors[ok], local[ok]
+    ix = tuple(coors[0])
+    sel = (coors == coors[0]).all(1)
+    np.testing.assert_allclose(mv[ix][:3], local[sel].mean(0), atol=1e-5)
+    np.testing.assert_allclose(mv[ix][3:], local[sel].var(0), atol=1e-5)
