@@ -135,6 +135,13 @@ class OcOccNetConfig:
     # vehicle/pedestrian/cyclist CTRL variants)
     class_names: Tuple[str, ...] = ("Car",)
 
+    # optional whole-tracklet sparse-UNet point feature extractor (the
+    # reference CTRL's TrackletSegmentor, tracklet_detector.py:24-190):
+    # per-point UNet features append to the raw point features before RoI
+    # pooling. None = off; "tiny"/"full" select the preset
+    # TrackletSegmentorConfig.
+    use_segmentor: str | None = None
+
     # optimization (cosine_2x schedule, ococcnet optimizer block)
     base_lr: float = 1e-6
     lr_mult: float = 100.0              # cyclic target_ratio upper

@@ -74,6 +74,14 @@ class OcOccNet(nn.Module):
         use_remat = (getattr(cfg, "remat_sir", False)
                      and not getattr(cfg, "packed_point_budget", None))
         Encoder = nn.remat(SIREncoder) if use_remat else SIREncoder
+        seg_mode = getattr(cfg, "use_segmentor", None)
+        if seg_mode:
+            from .tracklet_segmentor import (TrackletSegmentor,
+                                             TrackletSegmentorConfig,
+                                             tiny_segmentor_config)
+            seg_cfg = (tiny_segmentor_config() if seg_mode == "tiny"
+                       else TrackletSegmentorConfig())
+            self.segmentor = TrackletSegmentor(seg_cfg)
         self.roi_encoder = Encoder(
             num_blocks=cfg.num_blocks, feat_channels=cfg.feat_channels,
             rel_mlp_hidden=cfg.rel_mlp_hidden,
@@ -122,6 +130,18 @@ class OcOccNet(nn.Module):
 
         pts_xyz = batch.points[..., :3]
         pts_feats = batch.points[..., 3:]
+        if getattr(cfg, "use_segmentor", None):
+            # whole-tracklet UNet features (TrackletSegmentor) append to
+            # the per-point features consumed by the RoI encoder
+            flat_p = batch.points.reshape(B, L * P, -1)
+            flat_m = batch.points_mask.reshape(B, L * P)
+            finds = jnp.broadcast_to(
+                batch.frame_inds[:, :, None], (B, L, P)).reshape(B, L * P)
+            seg_feats = jnp.stack(
+                [self.segmentor(flat_p[b], finds[b], flat_m[b])
+                 for b in range(B)], 0)
+            pts_feats = jnp.concatenate(
+                [pts_feats, seg_feats.reshape(B, L, P, -1)], -1)
         pool = rp.roi_pool(pts_xyz, batch.points_mask, batch.rois,
                            cfg.extra_wlh)
 
