@@ -30,6 +30,12 @@ class SeqWindow(NamedTuple):
     gt_boxes: jax.Array     # [W, M, 7]
     gt_labels: jax.Array    # [W, M]
     gt_valid: jax.Array     # [W, M]
+    # optional offline seeds per frame (SeedStore, the reference's
+    # tools/fsdpp flow); None -> the model consumes its own carried seeds
+    seed_boxes: jax.Array | None = None    # [W, S, 7]
+    seed_labels: jax.Array | None = None   # [W, S]
+    seed_scores: jax.Array | None = None   # [W, S]
+    seed_valid: jax.Array | None = None    # [W, S]
 
 
 class SequenceLoader:
@@ -45,11 +51,14 @@ class SequenceLoader:
     (``datasets/build_dataloader_sequential.py:77-130``)."""
 
     def __init__(self, dataset, window: int, seed: int = 0,
-                 sequential: bool = False):
+                 sequential: bool = False, seed_store=None):
         self.ds = dataset
         self.window = window
         self.rng = np.random.RandomState(seed)
         self.sequential = sequential
+        # offline per-frame seeds (data/seed_store.SeedStore); requires the
+        # dataset to expose frame_meta(index) -> (segment_name, timestamp)
+        self.seed_store = seed_store
         if hasattr(dataset, "sequences"):
             self.seqs = dataset.sequences()
         else:
@@ -70,9 +79,15 @@ class SequenceLoader:
 
         def stack(k):
             return jnp.asarray(np.stack([s[k] for s in samples], 0))
+        seeds = (None,) * 4
+        if self.seed_store is not None:
+            rows = [self.seed_store.get(*self.ds.frame_meta(seq[beg + i]))
+                    for i in range(self.window)]
+            seeds = tuple(jnp.asarray(np.stack([r[j] for r in rows], 0))
+                          for j in range(4))
         return SeqWindow(stack("points"), stack("points_mask"),
                          stack("gt_boxes"), stack("gt_labels"),
-                         stack("gt_valid"))
+                         stack("gt_valid"), *seeds)
 
     def __next__(self) -> SeqWindow:
         if not self.sequential:
@@ -124,12 +139,18 @@ def make_seq_train_step(model: FSDPP, tx, window: int,
             m = mem
             chain = None    # (boxes, valid, keep) dropout carry
             for w in range(window):
+                from ..ops import seeds as seed_ops
                 seeds_in = None
+                if batch.seed_boxes is not None:
+                    # offline seed store (tools/fsdpp flow) overrides the
+                    # carried self-detections
+                    seeds_in = seed_ops.Seeds(
+                        batch.seed_boxes[w], batch.seed_labels[w],
+                        batch.seed_scores[w], batch.seed_valid[w])
                 if use_seed_aug:
-                    from ..ops import seeds as seed_ops
                     r_drop, r_fp = jax.random.split(
                         jax.random.fold_in(rng, w))
-                    s = m.seeds
+                    s = seeds_in if seeds_in is not None else m.seeds
                     keep = seed_ops.seed_dropout_step(
                         *(chain if chain is not None else (None,) * 3),
                         s.boxes, s.valid, r_drop, cfg.seed_drop_rate)

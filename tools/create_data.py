@@ -159,7 +159,25 @@ def main():
     po.add_argument("--shard", type=int, default=0)
     po.add_argument("--num-shards", type=int, default=1)
 
+    ps = sub.add_parser(
+        "fsdpp_seeds",
+        help="base-detector results .bin -> per-frame FSD++ seed store "
+             "(reference tools/fsdpp/create_seed_boxes_from_bin.py)")
+    ps.add_argument("--results-bin", required=True)
+    ps.add_argument("--out", required=True, help="seed store pkl path")
+    ps.add_argument("--max-seeds", type=int, default=128)
+    ps.add_argument("--score-thr", type=float, default=0.1)
+
     args = p.parse_args()
+    if args.cmd == "fsdpp_seeds":
+        from objectcentricocccompletion_tpu.data.seed_store import SeedStore
+        store = SeedStore.from_results_bin(
+            args.results_bin, max_seeds=args.max_seeds,
+            score_thr=args.score_thr)
+        store.save(args.out)
+        n = sum(len(v) for v in store.frames.values())
+        print(f"{len(store.frames)} frames, {n} seed boxes -> {args.out}")
+        return
     if args.cmd == "waymo_raw":
         from objectcentricocccompletion_tpu.tools_occ import \
             waymo_raw_converter as wrc
