@@ -72,6 +72,13 @@ class OcOccNetConfig:
     # precedence over roi_point_budget. None = dense layout.
     packed_point_budget: int | None = None
 
+    # block alignment quantum for the packed layout: each frame's points
+    # start at a quantum-aligned slot, so segment reductions run as a
+    # dense per-block masked max (single pass) + a tiny combine over
+    # budget/quantum block maxima, instead of an O(L) compare per element.
+    # Costs up to quantum-1 wasted slots per frame. 0 = tight packing.
+    packed_quantum: int = 128
+
     # SIR RoI encoder (OccBBoxHead blocks)
     num_blocks: int = 6
     feat_channels: Tuple[int, int] = (128, 128)

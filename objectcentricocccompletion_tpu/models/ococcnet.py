@@ -222,8 +222,13 @@ class OcOccNet(nn.Module):
         cfg = self.cfg
         B, L = batch.rois.shape[:2]
         N = cfg.packed_point_budget
-        packed = pk.pack_groups(pool.mask, N)
+        q = getattr(cfg, "packed_quantum", 0)
+        if q:
+            packed = pk.pack_groups_aligned(pool.mask, N, q)
+        else:
+            packed = pk.pack_groups(pool.mask, N)
         seg = packed.seg_ids
+        bseg = packed.block_seg
 
         # one fused row gather for every per-point channel
         allc = jnp.concatenate(
@@ -248,7 +253,8 @@ class OcOccNet(nn.Module):
         f_cluster = jnp.concatenate(
             [p_local, p_boundary, p_margin, p_rel], axis=-1)  # 13-d
         _, roi_feats = self.roi_encoder(
-            p_xyz, enc_feats, packed.valid, f_cluster, seg, L, **enc_kw)
+            p_xyz, enc_feats, packed.valid, f_cluster, seg, L, bseg,
+            **enc_kw)
         roi_feats = jnp.where(nonempty[..., None], roi_feats, 0.0)
 
         if not self.with_occ:
@@ -261,7 +267,7 @@ class OcOccNet(nn.Module):
         ae_in = jnp.concatenate(
             [p_feats[..., :2], p_boundary, p_margin, vox_centers], axis=-1)
         _, ae_feats = self.ae_encoder(
-            p_local, ae_in, packed.valid, None, seg, L, **enc_kw)
+            p_local, ae_in, packed.valid, None, seg, L, bseg, **enc_kw)
         ae_feats = jnp.where(nonempty[..., None], ae_feats, 0.0)
         return roi_feats, ae_feats, nonempty
 

@@ -59,7 +59,9 @@ class SIRBlock(nn.Module):
     @nn.compact
     def __call__(self, in_feats: jax.Array, f_rel: jax.Array,
                  mask: jax.Array, seg_ids: jax.Array | None = None,
-                 num_segments: int | None = None, *, train: bool = False):
+                 num_segments: int | None = None,
+                 block_seg: jax.Array | None = None, *,
+                 train: bool = False):
         """Returns (point_feats [.., 128], cluster [G or B*S, 256])."""
         gate = Mlp(tuple(self.rel_mlp_hidden) + (in_feats.shape[-1],),
                    act=self.act, dtype=self.dtype,
@@ -73,6 +75,15 @@ class SIRBlock(nn.Module):
 
             def broadcast(g, x):
                 return jnp.broadcast_to(g[..., None, :], x.shape)
+        elif block_seg is not None:
+            # block-aligned packing: dense per-block reduce + tiny combine
+            def reduce(x):
+                fn = (pk.segment_max_blocked if self.mode == "max"
+                      else pk.segment_mean_blocked)
+                return fn(x, mask, block_seg, num_segments)
+
+            def broadcast(g, x):
+                return pk.broadcast_back(g, seg_ids)
         else:
             def reduce(x):
                 fn = pk.segment_max if self.mode == "max" else pk.segment_mean
@@ -169,7 +180,9 @@ class SIREncoder(nn.Module):
     def __call__(self, xyz: jax.Array, feats: jax.Array, mask: jax.Array,
                  f_cluster: jax.Array | None = None,
                  seg_ids: jax.Array | None = None,
-                 num_segments: int | None = None, *, train: bool = False):
+                 num_segments: int | None = None,
+                 block_seg: jax.Array | None = None, *,
+                 train: bool = False):
         """Dense: xyz [G, P, 3], feats [G, P, F], mask [G, P],
         f_cluster [G, P, R] or None -> (point_feats [G, P, 128],
         roi_feats [G, num_blocks*256]).
@@ -185,7 +198,10 @@ class SIREncoder(nn.Module):
                 center = masked_mean(xyz, mask, axis=-2)
                 f_cluster = xyz - center[..., None, :]
             else:
-                center = pk.segment_mean(xyz, seg_ids, num_segments)
+                center = (pk.segment_mean_blocked(xyz, mask, block_seg,
+                                                  num_segments)
+                          if block_seg is not None
+                          else pk.segment_mean(xyz, seg_ids, num_segments))
                 f_cluster = xyz - pk.broadcast_back(center, seg_ids)
         f_rel = f_cluster / self.rel_dist_scaler
 
@@ -204,7 +220,8 @@ class SIREncoder(nn.Module):
                 self.feat_channels, self.rel_mlp_hidden, act=self.act,
                 dropout=self.dropout, dtype=self.dtype,
                 name=f"block_{i}"
-            )(in_feats, f_rel, mask, seg_ids, num_segments, train=train)
+            )(in_feats, f_rel, mask, seg_ids, num_segments, block_seg,
+              train=train)
             if (self.with_shortcut and not self.geo_input
                     and out_feats.shape == point_feats.shape):
                 point_feats = point_feats + out_feats

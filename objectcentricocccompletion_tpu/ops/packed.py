@@ -39,6 +39,9 @@ class PackedPoints(NamedTuple):
     order: jax.Array     # [B, N] int32 indices into the flat [L*P] layout
     seg_ids: jax.Array   # [B, N] int32 frame id; == num_segments when invalid
     valid: jax.Array     # [B, N] bool
+    # block-aligned mode only (pack_groups_aligned): segment id per
+    # ``quantum``-sized block, [B, N // quantum]; None in plain mode
+    block_seg: jax.Array | None = None
 
 
 def pack_groups(mask: jax.Array, budget: int,
@@ -58,6 +61,105 @@ def pack_groups(mask: jax.Array, budget: int,
     valid = jnp.take_along_axis(flat, order, axis=-1)
     seg_ids = jnp.where(valid, order // P, L).astype(jnp.int32)
     return PackedPoints(order.astype(jnp.int32), seg_ids, valid)
+
+
+def pack_groups_aligned(mask: jax.Array, budget: int,
+                        quantum: int = 128) -> PackedPoints:
+    """Block-aligned packing: each frame's points start at a
+    ``quantum``-aligned offset, so every quantum-sized block of the packed
+    buffer belongs to EXACTLY ONE frame. Segment reductions then collapse
+    to a dense per-block masked max (one pass over the data, the same cost
+    profile as the dense [B, L, P] layout) plus a tiny combine over the
+    [B, N/quantum] block maxima — no O(num_segments) compare per element.
+
+    The price is fragmentation: up to ``quantum - 1`` wasted slots per
+    frame. The waterfill budget accounts for the aligned footprint
+    (``sum_l ceil(min(c_l, T)/quantum)*quantum <= budget``).
+    """
+    B, L, P = mask.shape
+    assert budget % quantum == 0, (budget, quantum)
+    # every frame must be able to claim at least one block, else the
+    # aligned waterfill could zero out the whole tracklet
+    assert budget >= L * quantum, (budget, L, quantum)
+    counts = jnp.sum(mask, axis=-1)                      # [B, L]
+
+    def fits(T):
+        padded = jnp.ceil(jnp.minimum(counts, T[:, None]) / quantum
+                          ) * quantum
+        return jnp.sum(padded, axis=-1) <= budget
+
+    lo = jnp.zeros((B,), jnp.int32)
+    hi = jnp.full((B,), P, jnp.int32)
+    for _ in range(P.bit_length()):
+        mid = (lo + hi + 1) // 2
+        ok = fits(mid)
+        lo = jnp.where(ok, mid, lo)
+        hi = jnp.where(ok, hi, mid - 1)
+    cap = lo[:, None]                                    # [B, 1]
+    kept = jnp.minimum(counts, cap)                      # [B, L]
+    base = (jnp.cumsum(jnp.ceil(kept / quantum).astype(jnp.int32),
+                       axis=-1) - jnp.ceil(kept / quantum).astype(jnp.int32)
+            ) * quantum                                  # [B, L] exclusive
+
+    rank = jnp.cumsum(mask, axis=-1) - 1                 # within-frame rank
+    keep = mask & (rank < cap[..., None])
+    dest = jnp.where(keep, base[..., None] + rank, budget)  # [B, L, P]
+    flatdest = dest.reshape(B, L * P)
+    # order[d] = flat point index whose destination is slot d (inverse
+    # permutation; destinations have alignment gaps, so invert by scatter
+    # — out-of-budget destinations drop)
+    flat_idx = jnp.broadcast_to(
+        jnp.arange(L * P, dtype=jnp.int32), (B, L * P))
+    inv = jnp.full((B, budget), -1, jnp.int32)
+    binx = jnp.arange(B)[:, None]
+    inv = inv.at[binx, flatdest].set(flat_idx, mode="drop")
+    slot_filled = inv >= 0
+    order = jnp.where(slot_filled, inv, 0).astype(jnp.int32)
+    seg_src = jnp.broadcast_to(jnp.arange(L)[None, :, None],
+                               (B, L, P)).reshape(B, L * P)
+    seg_ids = jnp.where(
+        slot_filled,
+        jnp.take_along_axis(seg_src, order.astype(jnp.int64), axis=-1),
+        L).astype(jnp.int32)
+    # block segment: every block lies inside one frame by construction
+    block_seg = seg_ids.reshape(B, budget // quantum, quantum)[:, :, 0]
+    return PackedPoints(order, seg_ids, slot_filled, block_seg)
+
+
+def segment_max_blocked(x: jax.Array, valid: jax.Array,
+                        block_seg: jax.Array, num_segments: int,
+                        neg: float = -1e30) -> jax.Array:
+    """Segment max over a block-aligned packed layout: dense masked max
+    within each quantum block, then a one-hot max over the few block
+    maxima. x [B, N, C], valid [B, N], block_seg [B, NB] -> [B, S, C]."""
+    B, N, C = x.shape
+    NB = block_seg.shape[1]
+    q = N // NB
+    xb = x.reshape(B, NB, q, C)
+    vb = valid.reshape(B, NB, q)
+    bmax = jnp.max(jnp.where(vb[..., None], xb, neg), axis=2)  # [B, NB, C]
+    oh = block_seg[..., None] == jnp.arange(num_segments)      # [B, NB, S]
+    out = jnp.max(jnp.where(oh[..., None], bmax[:, :, None, :], neg),
+                  axis=1)
+    nonempty = jnp.any(oh, axis=1)
+    return jnp.where(nonempty[..., None], out, 0.0)
+
+
+def segment_mean_blocked(x: jax.Array, valid: jax.Array,
+                         block_seg: jax.Array,
+                         num_segments: int) -> jax.Array:
+    """Blocked counterpart of :func:`segment_mean`."""
+    B, N, C = x.shape
+    NB = block_seg.shape[1]
+    q = N // NB
+    xb = jnp.where(valid[..., None], x, 0.0).reshape(B, NB, q, C)
+    bsum = jnp.sum(xb, axis=2)                                 # [B, NB, C]
+    bcnt = jnp.sum(valid.reshape(B, NB, q), axis=2)            # [B, NB]
+    oh = (block_seg[..., None] == jnp.arange(num_segments)
+          ).astype(x.dtype)                                    # [B, NB, S]
+    s = jnp.einsum("bns,bnc->bsc", oh, bsum)
+    n = jnp.einsum("bns,bn->bs", oh, bcnt.astype(x.dtype))
+    return s / jnp.clip(n[..., None], 1, None)
 
 
 def waterfill_cap(mask: jax.Array, budget: int) -> jax.Array:
@@ -96,6 +198,17 @@ def pack_rows(x: jax.Array, order: jax.Array) -> jax.Array:
         x.reshape(B, L * P, C), order[..., None], axis=1)
 
 
+import os
+
+_USE_SCATTER = [os.environ.get("OCOCC_SEG_SCATTER", "0") == "1"]
+
+
+def set_segment_max_impl(scatter: bool) -> None:
+    """Switch the packed segment-max between the fused one-hot
+    broadcast-compare (default) and a vmapped sorted scatter-max."""
+    _USE_SCATTER[0] = bool(scatter)
+
+
 def segment_max(x: jax.Array, seg_ids: jax.Array, num_segments: int,
                 neg: float = -1e30) -> jax.Array:
     """Max over each segment; empty segments get 0 (the reference's
@@ -104,6 +217,13 @@ def segment_max(x: jax.Array, seg_ids: jax.Array, num_segments: int,
     x: [B, N, C]; seg_ids: [B, N] (invalid rows carry id >= num_segments).
     Returns [B, num_segments, C].
     """
+    if _USE_SCATTER[0]:
+        def one(xi, si):
+            return jax.ops.segment_max(
+                xi, si, num_segments=num_segments + 1,
+                indices_are_sorted=True)[:num_segments]
+        out = jax.vmap(one)(x, jnp.minimum(seg_ids, num_segments))
+        return jnp.where(jnp.isfinite(out) & (out > neg / 2), out, 0.0)
     oh = seg_ids[..., None] == jnp.arange(num_segments)      # [B, N, S]
     out = jnp.max(jnp.where(oh[..., None], x[:, :, None, :], neg), axis=1)
     nonempty = jnp.any(oh, axis=1)                           # [B, S]

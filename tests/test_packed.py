@@ -78,9 +78,14 @@ def _outs(cfg, batch, variables):
     return total, aux
 
 
-def test_packed_matches_dense_full_budget():
+import pytest
+
+
+@pytest.mark.parametrize("quantum", [0, 16])
+def test_packed_matches_dense_full_budget(quantum):
     """With budget >= all valid points the packed model must reproduce the
-    dense path (loss + every metric) on identical parameters."""
+    dense path (loss + every metric) on identical parameters — in both
+    tight (quantum=0) and block-aligned packing modes."""
     cfg = tiny_config()
     cfg_dense = dataclasses.replace(cfg, roi_point_budget=None)
     batch = make_batch(cfg, seed=3, all_points_valid=False)
@@ -88,9 +93,11 @@ def test_packed_matches_dense_full_budget():
     variables = model.init({"params": jax.random.PRNGKey(0)}, batch,
                            train=False)
 
-    budget = cfg.reg_len * cfg.max_points_per_frame  # covers everything
+    # aligned mode: the full-coverage footprint includes per-frame padding
+    budget = cfg.reg_len * cfg.max_points_per_frame
     cfg_packed = dataclasses.replace(cfg, roi_point_budget=None,
-                                     packed_point_budget=budget)
+                                     packed_point_budget=budget,
+                                     packed_quantum=quantum)
 
     t_dense, aux_dense = _outs(cfg_dense, batch, variables)
     t_packed, aux_packed = _outs(cfg_packed, batch, variables)
@@ -102,7 +109,8 @@ def test_packed_matches_dense_full_budget():
             rtol=2e-4, atol=2e-5, err_msg=k)
 
 
-def test_packed_matches_dense_ctrl_variant():
+@pytest.mark.parametrize("quantum", [0, 16])
+def test_packed_matches_dense_ctrl_variant(quantum):
     cfg = dataclasses.replace(tiny_config(), variant="ctrl",
                               roi_point_budget=None)
     batch = make_batch(cfg, seed=5, all_points_valid=False)
@@ -110,7 +118,8 @@ def test_packed_matches_dense_ctrl_variant():
     variables = model.init({"params": jax.random.PRNGKey(0)}, batch,
                            train=False)
     budget = cfg.reg_len * cfg.max_points_per_frame
-    cfg_packed = dataclasses.replace(cfg, packed_point_budget=budget)
+    cfg_packed = dataclasses.replace(cfg, packed_point_budget=budget,
+                                     packed_quantum=quantum)
     t_dense, _ = _outs(cfg, batch, variables)
     t_packed, _ = _outs(cfg_packed, batch, variables)
     np.testing.assert_allclose(np.asarray(t_packed), np.asarray(t_dense),
@@ -119,7 +128,7 @@ def test_packed_matches_dense_ctrl_variant():
 
 def test_packed_gradients_flow():
     cfg = dataclasses.replace(tiny_config(), roi_point_budget=None,
-                              packed_point_budget=64)
+                              packed_point_budget=128, packed_quantum=16)
     batch = make_batch(cfg, seed=7, all_points_valid=False)
     model = OcOccNetWithLoss(cfg)
     variables = model.init({"params": jax.random.PRNGKey(0)}, batch,
@@ -170,3 +179,57 @@ def test_waterfill_noop_under_budget():
     mask = rng.rand(3, 5, 32) < 0.4
     capped = np.asarray(pk.waterfill_cap(jnp.asarray(mask), budget=5 * 32))
     np.testing.assert_array_equal(capped, mask)
+
+
+def test_pack_groups_aligned_structure():
+    """Aligned packing: each frame starts at a quantum-aligned slot,
+    every block belongs to one frame, gaps are invalid."""
+    mask = np.zeros((1, 3, 8), bool)
+    mask[0, 0, :3] = True    # 3 pts -> 1 block
+    mask[0, 1, :5] = True    # 5 pts -> 2 blocks (q=4)
+    mask[0, 2, :2] = True    # 2 pts -> 1 block
+    p = pk.pack_groups_aligned(jnp.asarray(mask), budget=16, quantum=4)
+    seg = np.asarray(p.seg_ids[0])
+    val = np.asarray(p.valid[0])
+    # frame 0: slots 0-2; frame 1: slots 4-8; frame 2: slots 12-13
+    np.testing.assert_array_equal(seg[:3], [0, 0, 0])
+    assert not val[3]
+    np.testing.assert_array_equal(seg[4:9], [1] * 5)
+    assert not val[9] and not val[10] and not val[11]
+    np.testing.assert_array_equal(seg[12:14], [2, 2])
+    np.testing.assert_array_equal(np.asarray(p.block_seg[0]), [0, 1, 1, 2])
+    # order maps slots back to the right flat indices
+    np.testing.assert_array_equal(np.asarray(p.order[0][:3]), [0, 1, 2])
+    np.testing.assert_array_equal(np.asarray(p.order[0][4:9]),
+                                  8 + np.arange(5))
+
+
+def test_pack_groups_aligned_waterfill():
+    """Over-budget: the aligned waterfill caps frames accounting for the
+    block footprint."""
+    mask = np.ones((1, 4, 16), bool)     # 4 frames x 16 pts, q=4
+    p = pk.pack_groups_aligned(jnp.asarray(mask), budget=16, quantum=4)
+    seg = np.asarray(p.seg_ids[0])
+    val = np.asarray(p.valid[0])
+    # cap T=4: each frame keeps 4 points in exactly one block
+    assert val.all()
+    np.testing.assert_array_equal(
+        seg, np.repeat(np.arange(4), 4))
+    np.testing.assert_array_equal(np.asarray(p.block_seg[0]), [0, 1, 2, 3])
+
+
+def test_segment_max_blocked_matches_plain():
+    rng = np.random.RandomState(0)
+    B, L, P, C, q = 2, 4, 12, 5, 4
+    mask = rng.rand(B, L, P) < 0.5
+    budget = L * ((P + q - 1) // q) * q
+    p = pk.pack_groups_aligned(jnp.asarray(mask), budget=budget, quantum=q)
+    x = jnp.asarray(rng.randn(B, budget, C).astype(np.float32))
+    got = pk.segment_max_blocked(x, p.valid, p.block_seg, L)
+    want = pk.segment_max(x, p.seg_ids, L)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=1e-6)
+    got_m = pk.segment_mean_blocked(x, p.valid, p.block_seg, L)
+    want_m = pk.segment_mean(
+        jnp.where(p.valid[..., None], x, 0.0), p.seg_ids, L)
+    np.testing.assert_allclose(np.asarray(got_m), np.asarray(want_m),
+                               rtol=1e-5, atol=1e-6)
