@@ -36,9 +36,7 @@ def main():
         # BENCH_LN=float32 restores bit-level reference parity
         ln_dtype=os.environ.get("BENCH_LN", "auto"),
         batch_size=int(os.environ.get("BENCH_BATCH", "4")),
-        use_pallas_sir=os.environ.get("BENCH_SIR", "0") == "1",
         remat_sir=os.environ.get("BENCH_REMAT", "0") == "1",
-        fused_ln=os.environ.get("BENCH_FUSED_LN", "0") == "1",
         # BENCH_ROI_BUDGET=0 -> None (strict parity); unset -> config
         # default (640)
         **({"roi_point_budget": int(os.environ["BENCH_ROI_BUDGET"]) or None}

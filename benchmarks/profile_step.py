@@ -2,7 +2,6 @@
 per-op-category device time totals.
 
 Usage:  BENCH_DTYPE=bfloat16 python benchmarks/profile_step.py
-Env: BENCH_SIR=1 routes SIR through the fused Pallas kernel.
 """
 import glob
 import gzip
@@ -27,9 +26,10 @@ def run_and_trace(log_dir):
         compute_dtype=os.environ.get("BENCH_DTYPE", "bfloat16"),
         ln_dtype=os.environ.get("BENCH_LN", "auto"),
         batch_size=int(os.environ.get("BENCH_BATCH", "4")),
-        use_pallas_sir=os.environ.get("BENCH_SIR", "0") == "1",
         **({"packed_point_budget": int(os.environ["BENCH_PACKED"]) or None}
-           if os.environ.get("BENCH_PACKED") else {}))
+           if os.environ.get("BENCH_PACKED") else {}),
+        **({"roi_point_budget": int(os.environ["BENCH_ROI_BUDGET"]) or None}
+           if os.environ.get("BENCH_ROI_BUDGET") else {}))
     mesh = make_mesh(jax.devices())
     batch = synthetic_batch(cfg, batch_size=cfg.batch_size, seed=0)
     cpu = jax.devices("cpu")[0]

@@ -27,16 +27,6 @@ class OcOccNetConfig:
     # fusion bucket); set "float32" for bit-level reference parity
     ln_dtype: str = "auto"
 
-    # fused Pallas LayerNorm (ops/pallas_ln.py): single-pass statistics and
-    # backward with fp32 stats in VMEM; TPU-only (falls back to
-    # nn.LayerNorm elsewhere)
-    fused_ln: bool = False
-
-    # route SIR blocks through the fused Pallas kernel (ops/pallas_sir.py);
-    # parameter layout differs from the einsum path, so checkpoints are
-    # mode-specific
-    use_pallas_sir: bool = False
-
     # rematerialize the SIR encoders (jax.checkpoint): the backward
     # recomputes the 12-block chain instead of reloading ~60 saved
     # activations from HBM — trades MXU FLOPs for the bandwidth the step

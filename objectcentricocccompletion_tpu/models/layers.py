@@ -20,7 +20,6 @@ import jax.numpy as jnp
 
 LN_EPS = 1e-3
 _LN_DTYPE = [jnp.float32]
-_FUSED_LN = [False]
 
 
 def set_ln_dtype(dtype) -> None:
@@ -29,28 +28,6 @@ def set_ln_dtype(dtype) -> None:
 
 def ln_dtype():
     return _LN_DTYPE[0]
-
-
-def set_fused_ln(on: bool) -> None:
-    """Route subsequently-built LayerNorms through the fused Pallas kernel
-    (``ops/pallas_ln.py``) — single-pass statistics/backward instead of
-    XLA's multiple reduce fusions. TPU-only; ignored elsewhere."""
-    _FUSED_LN[0] = bool(on)
-
-
-class FusedLayerNorm(nn.Module):
-    """Drop-in ``nn.LayerNorm`` replacement over the fused Pallas kernel.
-    Parameter names/shapes match ``nn.LayerNorm`` (scale, bias), so
-    checkpoints are interchangeable between the two paths."""
-    epsilon: float = LN_EPS
-
-    @nn.compact
-    def __call__(self, x):
-        from ..ops.pallas_ln import fused_layernorm
-        c = x.shape[-1]
-        scale = self.param("scale", nn.initializers.ones, (c,))
-        bias = self.param("bias", nn.initializers.zeros, (c,))
-        return fused_layernorm(x, scale, bias, self.epsilon)
 
 
 class OnePassLayerNorm(nn.Module):
@@ -84,15 +61,10 @@ def set_one_pass_ln(on: bool) -> None:
 
 
 def make_ln(name: str, epsilon: float = LN_EPS):
-    """LayerNorm factory honoring the fused-kernel and stats-dtype flags.
-    Explicit names keep the parameter tree identical across modes (every
-    variant's params mirror nn.LayerNorm's), so a CPU-offloaded init
-    building one path feeds any other on the chip directly."""
-    dd = jax.config.jax_default_device
-    on_tpu = (jax.default_backend() == "tpu"
-              and (dd is None or dd.platform == "tpu"))
-    if _FUSED_LN[0] and on_tpu:
-        return FusedLayerNorm(epsilon=epsilon, name=name)
+    """LayerNorm factory honoring the stats-dtype flag. Explicit names keep
+    the parameter tree identical across modes (every variant's params
+    mirror nn.LayerNorm's), so a CPU-offloaded init building one path
+    feeds any other on the chip directly."""
     if _ONE_PASS_LN[0]:
         return OnePassLayerNorm(epsilon=epsilon, name=name)
     return nn.LayerNorm(epsilon=epsilon, dtype=ln_dtype(), name=name)

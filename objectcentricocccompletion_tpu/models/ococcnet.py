@@ -86,7 +86,7 @@ class OcOccNet(nn.Module):
             num_blocks=cfg.num_blocks, feat_channels=cfg.feat_channels,
             rel_mlp_hidden=cfg.rel_mlp_hidden,
             xyz_normalizer=cfg.xyz_normalizer, geo_input=True, act=cfg.act,
-            dtype=dt, use_pallas=cfg.use_pallas_sir)
+            dtype=dt)
         if not self.with_occ:
             # CTRL baseline: FullySparseBboxHead = RoI encoder + heads
             self.conv_cls = Mlp(tuple(cfg.cls_mlp) + (1,), is_head=True,
@@ -100,7 +100,7 @@ class OcOccNet(nn.Module):
             num_blocks=cfg.num_blocks, feat_channels=cfg.feat_channels,
             rel_mlp_hidden=cfg.rel_mlp_hidden,
             xyz_normalizer=cfg.ae_xyz_normalizer, geo_input=False,
-            act=cfg.act, dtype=dt, use_pallas=cfg.use_pallas_sir)
+            act=cfg.act, dtype=dt)
         self.roi_pos_enc = Mlp(tuple(cfg.roi_pos_enc_mlp) + (cfg.d_model,),
                                is_head=True, act=cfg.act, dtype=dt)
         self.temporal = TemporalEncoder(
@@ -247,8 +247,14 @@ class OcOccNet(nn.Module):
         nonempty = pk.segment_any(seg, L)  # [B, L] post-truncation
 
         enc_kw = {"train": train}
+        def bb(table):
+            # per-frame data to per-point: block-level gather when aligned
+            if bseg is not None:
+                return pk.broadcast_back_blocked(table, bseg, N)
+            return pk.broadcast_back(table, seg)
+
         # ---- RoI observation encoder ----
-        roi_score_pt = pk.broadcast_back(batch.roi_scores[..., None], seg)
+        roi_score_pt = bb(batch.roi_scores[..., None])
         enc_feats = jnp.concatenate([p_feats, roi_score_pt], axis=-1)
         f_cluster = jnp.concatenate(
             [p_local, p_boundary, p_margin, p_rel], axis=-1)  # 13-d
@@ -261,7 +267,7 @@ class OcOccNet(nn.Module):
             return roi_feats, None, nonempty
 
         # ---- occupancy auto-encoder ----
-        roi_sizes_pt = pk.broadcast_back(batch.rois[..., 3:6], seg)
+        roi_sizes_pt = bb(batch.rois[..., 3:6])
         vox_centers = rp.quantize_to_voxel_centers_aligned(
             p_local, roi_sizes_pt, cfg.ae_voxel_size)
         ae_in = jnp.concatenate(

@@ -76,14 +76,15 @@ class SIRBlock(nn.Module):
             def broadcast(g, x):
                 return jnp.broadcast_to(g[..., None, :], x.shape)
         elif block_seg is not None:
-            # block-aligned packing: dense per-block reduce + tiny combine
+            # block-aligned packing: dense per-block reduce + tiny combine;
+            # broadcast-back gathers per BLOCK, free within the block
             def reduce(x):
                 fn = (pk.segment_max_blocked if self.mode == "max"
                       else pk.segment_mean_blocked)
                 return fn(x, mask, block_seg, num_segments)
 
             def broadcast(g, x):
-                return pk.broadcast_back(g, seg_ids)
+                return pk.broadcast_back_blocked(g, block_seg, x.shape[1])
         else:
             def reduce(x):
                 fn = pk.segment_max if self.mode == "max" else pk.segment_mean
@@ -101,53 +102,6 @@ class SIRBlock(nn.Module):
             if i != len(self.feat_channels) - 1:
                 x = jnp.concatenate([x, broadcast(g, x)], axis=-1)
         return x, jnp.concatenate(cluster_feats, axis=-1)
-
-
-def _pallas_interpret() -> bool:
-    """interpret everywhere except a real TPU trace; honor a
-    `jax.default_device(cpu)` context (used for CPU-offloaded init)."""
-    dd = jax.config.jax_default_device
-    on_tpu = (jax.default_backend() == "tpu"
-              and (dd is None or dd.platform == "tpu"))
-    return not on_tpu
-
-
-class FusedSIRBlockParams(nn.Module):
-    """Parameter container for one block of the fused SIR encoder kernel
-    (``ops/pallas_sir.py::fused_sir_encoder``). Declares the same tensors as
-    ``SIRBlock`` under flat names; ``tensors()`` yields the kernel's
-    15-tuple. The encoder-level kernel consumes all blocks in one call."""
-    feat_channels: Sequence[int] = (128, 128)
-    rel_mlp_hidden: Sequence[int] = (16, 32)
-    rel_in: int = 13
-    in_dim: int = 144
-
-    def setup(self):
-        C = self.in_dim
-        h0, h1 = self.rel_mlp_hidden
-        C1, C2 = self.feat_channels
-        assert C1 == C2, "fused kernel assumes equal VFE widths"
-        lecun = nn.initializers.lecun_normal()
-        ones, zeros = nn.initializers.ones, nn.initializers.zeros
-
-        def ln(prefix, c):
-            return (self.param(f"{prefix}_scale", ones, (c,)),
-                    self.param(f"{prefix}_bias", zeros, (c,)))
-
-        self._tensors = (
-            self.param("gate_w0", lecun, (self.rel_in, h0)),
-            *ln("gate_ln0", h0),
-            self.param("gate_w1", lecun, (h0, h1)), *ln("gate_ln1", h1),
-            self.param("gate_w2", lecun, (h1, C)), *ln("gate_ln2", C),
-            self.param("vfe_w1", lecun, (C, C1)), *ln("vfe_ln1", C1),
-            self.param("vfe_w2", lecun, (2 * C1, C1)), *ln("vfe_ln2", C1),
-        )
-
-    def tensors(self):
-        return self._tensors
-
-    def __call__(self):  # pragma: no cover - params-only module
-        return self._tensors
 
 
 class SIREncoder(nn.Module):
@@ -174,7 +128,6 @@ class SIREncoder(nn.Module):
     act: str = "gelu"
     dropout: float = 0.0
     dtype: jnp.dtype = jnp.float32
-    use_pallas: bool = False   # fused VMEM kernel (FusedSIRBlock)
 
     @nn.compact
     def __call__(self, xyz: jax.Array, feats: jax.Array, mask: jax.Array,
@@ -198,16 +151,15 @@ class SIREncoder(nn.Module):
                 center = masked_mean(xyz, mask, axis=-2)
                 f_cluster = xyz - center[..., None, :]
             else:
-                center = (pk.segment_mean_blocked(xyz, mask, block_seg,
-                                                  num_segments)
-                          if block_seg is not None
-                          else pk.segment_mean(xyz, seg_ids, num_segments))
-                f_cluster = xyz - pk.broadcast_back(center, seg_ids)
+                if block_seg is not None:
+                    center = pk.segment_mean_blocked(xyz, mask, block_seg,
+                                                     num_segments)
+                    f_cluster = xyz - pk.broadcast_back_blocked(
+                        center, block_seg, xyz.shape[1])
+                else:
+                    center = pk.segment_mean(xyz, seg_ids, num_segments)
+                    f_cluster = xyz - pk.broadcast_back(center, seg_ids)
         f_rel = f_cluster / self.rel_dist_scaler
-
-        if self.use_pallas:
-            assert seg_ids is None, "fused kernel is dense-layout only"
-            return self._fused(xyz_n, feats, f_rel, mask)
 
         out_feats = feats
         cluster_list = []
@@ -229,23 +181,3 @@ class SIREncoder(nn.Module):
             cluster_list.append(cluster)
 
         return out_feats, jnp.concatenate(cluster_list, axis=-1)
-
-    def _fused(self, xyz_n, feats, f_rel, mask):
-        """Whole-encoder fused Pallas path: one kernel over all blocks; only
-        cluster features come back (OcOccNet discards point feats)."""
-        from ..ops.pallas_sir import fused_sir_encoder
-        R = f_rel.shape[-1]
-        C1 = self.feat_channels[0]
-        blocks = []
-        in_dim = 3 + feats.shape[-1] + (R if self.geo_input else 0)
-        for i in range(self.num_blocks):
-            blocks.append(FusedSIRBlockParams(
-                self.feat_channels, self.rel_mlp_hidden, rel_in=R,
-                in_dim=in_dim, name=f"block_{i}").tensors())
-            in_dim = 3 + C1 + (R if self.geo_input else 0)
-        dt = self.dtype
-        cluster = fused_sir_encoder(
-            xyz_n.astype(dt), feats.astype(dt), f_rel.astype(dt), mask,
-            tuple(blocks), self.geo_input, self.with_shortcut,
-            _pallas_interpret())
-        return None, cluster

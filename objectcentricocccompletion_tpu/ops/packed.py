@@ -256,3 +256,17 @@ def broadcast_back(g: jax.Array, seg_ids: jax.Array) -> jax.Array:
     S = g.shape[1]
     ids = jnp.clip(seg_ids, 0, S - 1)
     return jnp.take_along_axis(g, ids[..., None], axis=1)
+
+
+def broadcast_back_blocked(g: jax.Array, block_seg: jax.Array,
+                           n_points: int) -> jax.Array:
+    """Blocked broadcast-back: gather per BLOCK (budget/quantum rows)
+    and broadcast within each block for free — [B, S, C], [B, NB] ->
+    [B, n_points, C] with n_points = NB * quantum."""
+    B, S, C = g.shape
+    NB = block_seg.shape[1]
+    q = n_points // NB
+    ids = jnp.clip(block_seg, 0, S - 1)
+    gb = jnp.take_along_axis(g, ids[..., None], axis=1)     # [B, NB, C]
+    return jnp.broadcast_to(gb[:, :, None, :], (B, NB, q, C)).reshape(
+        B, n_points, C)

@@ -74,14 +74,13 @@ def param_shardings(params, mesh: Mesh, min_dim: int = 1024):
 
 
 def apply_ln_dtype(cfg) -> None:
-    """Honor cfg.ln_dtype ("auto" = follow compute_dtype) and cfg.fused_ln
-    for every LayerNorm built afterwards."""
-    from ..models.layers import set_fused_ln, set_ln_dtype
+    """Honor cfg.ln_dtype ("auto" = follow compute_dtype) for every
+    LayerNorm built afterwards."""
+    from ..models.layers import set_ln_dtype
     ln = getattr(cfg, "ln_dtype", "float32")
     if ln == "auto":
         ln = getattr(cfg, "compute_dtype", "float32")
     set_ln_dtype(ln)
-    set_fused_ln(getattr(cfg, "fused_ln", False))
 
 
 def shrink_batch(batch: TrackletBatch, max_b: int = 1, max_l: int = 4,
