@@ -43,7 +43,13 @@ def main():
            if os.environ.get("BENCH_ROI_BUDGET") else {}),
         # BENCH_PACKED=0 -> dense layout; unset -> config default
         **({"packed_point_budget": int(os.environ["BENCH_PACKED"]) or None}
-           if os.environ.get("BENCH_PACKED") else {}))
+           if os.environ.get("BENCH_PACKED") else {}),
+        # BENCH_DROPOUT=0 disables all dropout (floor probe; NOT a
+        # semantics-preserving option)
+        **({k: 0.0 for k in ("occ_dropout", "attn_dropout", "cls_dropout",
+                             "reg_dropout", "latent_dropout",
+                             "fusion_dropout")}
+           if os.environ.get("BENCH_DROPOUT") == "0" else {}))
     mesh = make_mesh(jax.devices())
     n_dev = mesh.devices.size
     global_batch = cfg.batch_size * n_dev

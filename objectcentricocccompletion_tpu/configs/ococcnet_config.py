@@ -58,9 +58,13 @@ class OcOccNetConfig:
     # segment ids (ops/packed.py), so the SIR encoders' matmul/LayerNorm
     # cost scales with actual point occupancy instead of the dense
     # [L, P] worst case. Overflow drops points of the latest frames first
-    # (the CUDA pool's block-layout truncation). When set, takes
-    # precedence over roi_point_budget. None = dense layout.
-    packed_point_budget: int | None = None
+    # (the CUDA pool's block-layout truncation). Over budget, the
+    # waterfill caps dense frames evenly (sparse frames keep everything)
+    # — strictly more points kept than a uniform per-frame cap at the
+    # same compute (BENCH_NOTES). When set, takes precedence over
+    # roi_point_budget. None = dense layout. Default 8192 = 256/frame
+    # average at reg_len 32.
+    packed_point_budget: int | None = 8192
 
     # block alignment quantum for the packed layout: each frame's points
     # start at a quantum-aligned slot, so segment reductions run as a
@@ -178,11 +182,14 @@ def ctrl_cyc_config() -> OcOccNetConfig:
 
 
 def tiny_config() -> OcOccNetConfig:
-    """Small shapes for tests."""
+    """Small shapes for tests. Uses the dense point layout as the test
+    baseline (the packed layout's parity against it is pinned by the
+    dedicated tests in tests/test_packed.py)."""
     return OcOccNetConfig(
         batch_size=2, reg_len=8, max_points_per_frame=64, num_occ_samples=32,
         num_blocks=2, feat_channels=(32, 32), rel_mlp_hidden=(8, 16),
         occ_mlp=(32, 32, 32), d_model=2 * 2 * 32, attn_ffn_dim=64,
         latent_mlp=(64,), fusion_mlp=(64,), cls_mlp=(32,), reg_mlp=(32,),
         roi_pos_enc_mlp=(32,), num_enc_layers=1,
+        packed_point_budget=None,
     )

@@ -18,7 +18,7 @@ import flax.linen as nn
 import jax
 import jax.numpy as jnp
 
-from .layers import (LN_EPS, Mlp, activation, make_ln,
+from .layers import (LN_EPS, BarrierDropout, Mlp, activation, make_ln,
                      nerf_position_encoding)
 
 
@@ -47,7 +47,7 @@ class OccDecoder(nn.Module):
         x = make_ln("in_norm")(x).astype(self.dtype)
         x = activation(self.act)(x)
         if self.dropout > 0:
-            x = nn.Dropout(self.dropout, deterministic=not train)(x)
+            x = BarrierDropout(self.dropout)(x, deterministic=not train)
 
         x = Mlp(tuple(self.mlp_dims[1:]) + (1,), is_head=True, act=self.act,
                 dropout=self.dropout, dtype=self.dtype,

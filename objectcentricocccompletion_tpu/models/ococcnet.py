@@ -221,9 +221,14 @@ class OcOccNet(nn.Module):
         occupancy instead of the [B, L, P] worst case."""
         cfg = self.cfg
         B, L = batch.rois.shape[:2]
-        N = cfg.packed_point_budget
+        # cfg.packed_point_budget is defined at train length reg_len; the
+        # effective budget scales with the actual (eval-bucket) length so
+        # long tracklets keep the same average points per frame
         q = getattr(cfg, "packed_quantum", 0)
+        per_frame = max(cfg.packed_point_budget // cfg.reg_len, q or 1)
+        N = L * per_frame
         if q:
+            N = -(-N // q) * q                    # round up to quantum
             packed = pk.pack_groups_aligned(pool.mask, N, q)
         else:
             packed = pk.pack_groups(pool.mask, N)

@@ -20,7 +20,7 @@ import flax.linen as nn
 import jax
 import jax.numpy as jnp
 
-from .layers import LN_EPS, activation, make_ln
+from .layers import LN_EPS, BarrierDropout, activation, make_ln
 
 
 class CausalSelfAttention(nn.Module):
@@ -49,7 +49,7 @@ class CausalSelfAttention(nn.Module):
             + mask.astype(jnp.float32)
         w = jax.nn.softmax(logits, axis=-1).astype(self.dtype)
         if self.attn_dropout > 0:
-            w = nn.Dropout(self.attn_dropout, deterministic=not train)(w)
+            w = BarrierDropout(self.attn_dropout)(w, deterministic=not train)
         out = jnp.einsum("bhlm,bmhd->blhd", w, v)
         return nn.Dense(d, name="out", dtype=self.dtype)(
             out.reshape(out.shape[:-2] + (d,)))

@@ -18,6 +18,9 @@ if "xla_force_host_platform_device_count" not in flags:
 
 import jax  # noqa: E402
 
-jax.config.update("jax_platforms", "cpu")
+# OCOCC_TEST_TPU=1 keeps the real backend so the suite (or hardware-only
+# tests) can run on the chip
+if os.environ.get("OCOCC_TEST_TPU") != "1":
+    jax.config.update("jax_platforms", "cpu")
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))

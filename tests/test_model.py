@@ -298,3 +298,66 @@ def test_roi_point_budget_compaction():
     np.testing.assert_allclose(float(total1), float(total0), rtol=1e-5)
     np.testing.assert_allclose(float(aux1["loss_rcnn_occ"]),
                                float(aux0["loss_rcnn_occ"]), rtol=1e-5)
+
+
+class TestBarrierDropout:
+    """BarrierDropout must match nn.Dropout semantics: i.i.d. Bernoulli
+    keep mask at rate `1-p`, kept entries scaled by 1/(1-p), zeros
+    elsewhere; identity when deterministic."""
+
+    def _apply(self, rate, shape, det, seed=0):
+        from objectcentricocccompletion_tpu.models.layers import \
+            BarrierDropout
+        m = BarrierDropout(rate)
+        x = jnp.ones(shape, jnp.float32)
+        return np.asarray(m.apply(
+            {}, x, deterministic=det,
+            rngs={"dropout": jax.random.PRNGKey(seed)}))
+
+    def test_deterministic_identity(self):
+        y = self._apply(0.5, (8, 16), det=True)
+        np.testing.assert_array_equal(y, np.ones((8, 16), np.float32))
+
+    def test_values_are_zero_or_scaled(self):
+        rate = 0.1
+        y = self._apply(rate, (64, 1024), det=False)
+        keep = 1.0 - rate
+        ok = (y == 0.0) | np.isclose(y, 1.0 / keep)
+        assert ok.all()
+
+    def test_keep_fraction_matches_rate(self):
+        rate = 0.1
+        y = self._apply(rate, (256, 1024), det=False)
+        frac = (y != 0).mean()
+        # 262144 draws, sigma ~ 0.0006 -> 6-sigma window
+        assert abs(frac - 0.9) < 0.004, frac
+
+    def test_odd_last_dim(self):
+        y = self._apply(0.3, (32, 33), det=False)
+        assert y.shape == (32, 33)
+        ok = (y == 0.0) | np.isclose(y, 1.0 / 0.7)
+        assert ok.all()
+
+    def test_halves_are_independent(self):
+        # the low/high 16-bit halves land in columns [0, C/2) and
+        # [C/2, C); their keep decisions must be uncorrelated
+        rate = 0.5
+        y = self._apply(rate, (512, 64), det=False)
+        lo = (y[:, :32] != 0).astype(np.float32)
+        hi = (y[:, 32:] != 0).astype(np.float32)
+        corr = np.corrcoef(lo.ravel(), hi.ravel())[0, 1]
+        assert abs(corr) < 0.02, corr
+
+    def test_grad_is_mask_scaled(self):
+        from objectcentricocccompletion_tpu.models.layers import \
+            BarrierDropout
+        m = BarrierDropout(0.2)
+        x = jnp.ones((16, 64), jnp.float32)
+        rngs = {"dropout": jax.random.PRNGKey(3)}
+
+        def f(x):
+            return jnp.sum(m.apply({}, x, deterministic=False, rngs=rngs))
+
+        g = np.asarray(jax.grad(f)(x))
+        y = np.asarray(m.apply({}, x, deterministic=False, rngs=rngs))
+        np.testing.assert_allclose(g, y, rtol=1e-6)
