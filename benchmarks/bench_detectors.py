@@ -119,6 +119,17 @@ def main():
     print(f"[{family}] compile {compile_s:.1f}s  step {step_ms:.1f} ms  "
           f"loss {float(l):.4f}", flush=True)
 
+    if os.environ.get("PROFILE") == "1":
+        from profile_step import summarize_by_source
+        log_dir = f"/tmp/trace_{family}"
+        os.makedirs(log_dir, exist_ok=True)
+        jax.profiler.start_trace(log_dir)
+        for _ in range(5):
+            out = step(params, *args)
+        jax.block_until_ready(jax.tree_util.tree_leaves(out)[0])
+        jax.profiler.stop_trace()
+        summarize_by_source(log_dir)
+
 
 if __name__ == "__main__":
     main()

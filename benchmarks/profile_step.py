@@ -112,6 +112,57 @@ def summarize(log_dir, top=40):
               f"x{count[k]:<5d} {k[:90]}")
 
 
+def summarize_by_source(log_dir, top=25):
+    """Aggregate device time by the HLO op's source file:line (the trace
+    events carry per-op metadata incl. model_flops / raw_bytes_accessed),
+    printing achieved GFLOP/s and GB/s per line."""
+    from collections import defaultdict
+    paths = glob.glob(os.path.join(log_dir, "**", "*.trace.json.gz"),
+                      recursive=True)
+    if not paths:
+        print("no trace.json.gz found under", log_dir)
+        return
+    with gzip.open(max(paths, key=os.path.getmtime), "rt") as f:
+        data = json.load(f)
+    events = data.get("traceEvents", [])
+    tpu_pids = set()
+    tnames = {}
+    for e in events:
+        if e.get("ph") == "M" and e.get("name") == "process_name" \
+                and "TPU" in e["args"].get("name", ""):
+            tpu_pids.add(e["pid"])
+        if e.get("ph") == "M" and e.get("name") == "thread_name":
+            tnames[(e["pid"], e["tid"])] = e["args"].get("name", "")
+    tot = defaultdict(float)
+    fl = defaultdict(float)
+    by = defaultdict(float)
+    total = 0.0
+    for e in events:
+        if e.get("ph") != "X" or e.get("pid") not in tpu_pids:
+            continue
+        if "Steps" in tnames.get((e["pid"], e["tid"]), ""):
+            continue
+        a = e.get("args") or {}
+        if "device_duration_ps" not in a:
+            continue
+        if e.get("name", "").startswith("jit_"):
+            continue
+        dur = e.get("dur", 0)
+        if dur <= 0:
+            continue
+        src = a.get("source", "") or "(no source)"
+        src = src.replace(os.path.dirname(__file__) + "/../", "")
+        tot[src] += dur
+        fl[src] += float(a.get("model_flops", 0) or 0)
+        by[src] += float(a.get("raw_bytes_accessed", 0) or 0)
+        total += dur
+    print(f"\ndevice time by source line (total {total/1e3:.1f} ms traced)")
+    print(f"{'ms':>9s} {'%':>5s} {'GFLOP/s':>8s} {'GB/s':>7s}  source")
+    for k, v in sorted(tot.items(), key=lambda kv: -kv[1])[:top]:
+        print(f"{v/1e3:9.2f} {100*v/max(total,1):5.1f} "
+              f"{fl[k]/(v*1e-6)/1e9:8.1f} {by[k]/(v*1e-6)/1e9:7.1f}  {k}")
+
+
 if __name__ == "__main__":
     log_dir = sys.argv[1] if len(sys.argv) > 1 else "/tmp/ococc_trace"
     os.makedirs(log_dir, exist_ok=True)

@@ -146,14 +146,12 @@ class SparseEncoder(nn.Module):
         o_valid = jnp.arange(vmax) < jnp.minimum(
             jnp.sum(first), vmax).astype(jnp.int32)
 
+        # in = (x, y, 2*z + k), k in 0..2 — a z-triple, so the scaled
+        # coords route through neighbor_table's slice-gather fast path
         out_offs = np.stack([np.zeros(3, np.int64), np.zeros(3, np.int64),
-                             np.arange(3)], -1)
-        o_table = []
-        for off in out_offs:
-            q = jnp.stack([oc_buf[:, 0], oc_buf[:, 1],
-                           oc_buf[:, 2] * 2 + jnp.int32(off[2])], -1)
-            o_table.append(sc.lookup(grid, q, o_valid))
-        o_table = jnp.stack(o_table, 0)
+                             np.arange(3)], -1).astype(np.int64)
+        scaled = oc_buf * jnp.asarray([1, 1, 2], jnp.int32)
+        o_table = sc.neighbor_table(grid, scaled, o_valid, out_offs)
         w_out = self.param("conv_out_kernel", nn.initializers.he_normal(),
                            (3, x.shape[-1], self.output_channels))
         x = sc.sparse_conv_apply(x, o_table, w_out, o_valid)

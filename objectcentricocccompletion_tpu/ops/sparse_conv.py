@@ -48,8 +48,13 @@ def _keys(coords: jax.Array, valid: jax.Array, grid_shape) -> jax.Array:
     return jnp.where(valid, key, jnp.int32(gx) * gy * gz + 1)
 
 
-# dense index allowed up to this many cells (int32 -> 128 MB HBM at 2^25)
-DENSE_INDEX_MAX_CELLS = 2 ** 25
+# dense index allowed up to this many cells (int32 -> 512 MB HBM at 2^27).
+# The alternative — searchsorted over sorted keys — measured 689 ms/step on
+# the full-scale CenterPoint encoder (48% of the whole train step): TPU
+# lowers the per-query binary search to a serial chain of gathers. The
+# dense map is one scatter + O(1) gather lookups and the 512 MB transient
+# is cheap next to that (BENCH_NOTES).
+DENSE_INDEX_MAX_CELLS = 2 ** 27
 
 
 def build_grid(coords: jax.Array, valid: jax.Array,
@@ -64,9 +69,12 @@ def build_grid(coords: jax.Array, valid: jax.Array,
     key = _keys(coords, valid, grid_shape)
     if dense_index:
         V = coords.shape[0]
-        # invalid rows carry the sentinel key n_cells+1 -> pad slot, sliced
-        dense = jnp.full((n_cells + 2,), -1, jnp.int32)
-        dense = dense.at[key].set(jnp.arange(V, dtype=jnp.int32))[:n_cells]
+        # layout: [1 lead pad][n_cells cells][3 tail pad]. The lead pad
+        # keeps z-triple slice gathers starting at cell -1 in bounds
+        # (neighbor_table fast path); invalid rows carry the sentinel key
+        # n_cells+1 -> tail pad. lookup masks both via query validity.
+        dense = jnp.full((n_cells + 4,), -1, jnp.int32)
+        dense = dense.at[key + 1].set(jnp.arange(V, dtype=jnp.int32))
         empty = jnp.zeros((0,), jnp.int32)
         return SparseGrid(coords, valid, empty, empty, grid_shape, dense)
     order = jnp.argsort(key)
@@ -85,7 +93,9 @@ def lookup(grid: SparseGrid, query_coords: jax.Array,
     qkey = _keys(query_coords, qv, grid.grid_shape)
     if grid.dense_index is not None:
         n = grid.dense_index.shape[0]
-        slot = grid.dense_index[jnp.clip(qkey, 0, n - 1)]
+        slot = grid.dense_index[jnp.clip(qkey + 1, 0, n - 1)]
+        # qv already excludes out-of-bounds queries, whose sentinel key
+        # points at the (garbage) pad slots beyond n_cells
         return jnp.where(qv & (qkey < n), slot, -1)
     pos = jnp.searchsorted(grid.sorted_keys, qkey)
     pos = jnp.clip(pos, 0, grid.sorted_keys.shape[0] - 1)
@@ -109,19 +119,68 @@ def neighbor_table(grid: SparseGrid, out_coords: jax.Array,
     For submanifold (stride 1): in = out + offset. For strided conv the
     caller passes output coords in the downsampled lattice and
     ``in = out * stride + offset`` (offsets here include the padding shift).
+
+    All K offsets resolve through ONE batched lookup (one big gather beats
+    K small dispatches on TPU). When the offset list factors into
+    z-consecutive triples (every 3^3 conv cube; z is the innermost key
+    dim) and the grid has a dense index, each (dx, dy) group resolves as
+    ONE 3-wide slice gather instead of 3 scalar gathers — 4-byte random
+    gathers are the dominant table cost at full CenterPoint scale.
     """
-    tables = []
-    for off in offsets:
-        q = out_coords * stride + jnp.asarray(off, jnp.int32)
-        tables.append(lookup(grid, q, out_valid))
-    return jnp.stack(tables, 0)
+    offsets = np.asarray(offsets)
+    K = len(offsets)
+    V = out_coords.shape[0]
+    if grid.dense_index is not None and _z_triples(offsets):
+        gx, gy, gz = grid.grid_shape
+        g_off = jnp.asarray(offsets[::3], jnp.int32)      # [K/3, 3]
+        q = out_coords[None, :, :] * stride + g_off[:, None, :]  # [K/3,V,3]
+        x, y, z0 = q[..., 0], q[..., 1], q[..., 2]
+        # raw key of the dz0 neighbor; alignment must hold even when the
+        # triple starts at cell z=-1 (lead pad) or the column is invalid
+        key0 = x * (gy * gz) + y * gz + z0
+        n = grid.dense_index.shape[0]
+        start = jnp.clip(key0.reshape(-1) + 1, 0, n - 3)
+        rows = jax.lax.gather(
+            grid.dense_index, start[:, None],
+            jax.lax.GatherDimensionNumbers(
+                offset_dims=(1,), collapsed_slice_dims=(),
+                start_index_map=(0,)),
+            slice_sizes=(3,),
+            mode=jax.lax.GatherScatterMode.PROMISE_IN_BOUNDS)  # [K/3*V, 3]
+        slots = rows.reshape(K // 3, V, 3).transpose(0, 2, 1)
+        xy_ok = (x >= 0) & (x < gx) & (y >= 0) & (y < gy) \
+            & out_valid[None, :]                              # [K/3, V]
+        zq = z0[:, None, :] + jnp.arange(3, dtype=jnp.int32)[None, :, None]
+        ok = xy_ok[:, None, :] & (zq >= 0) & (zq < gz)        # [K/3, 3, V]
+        return jnp.where(ok, slots, -1).reshape(K, V)
+    q = (out_coords[None, :, :] * stride
+         + jnp.asarray(offsets, jnp.int32)[:, None, :])
+    qv = jnp.broadcast_to(out_valid[None, :], (K, V))
+    return lookup(grid, q.reshape(K * V, 3), qv.reshape(K * V)).reshape(K, V)
+
+
+def _z_triples(offsets: np.ndarray) -> bool:
+    """True if consecutive offset triples share (dx, dy) and step z by +1
+    with dz0 >= -1 (so the slice start stays within the lead pad)."""
+    if len(offsets) % 3 != 0:
+        return False
+    o = offsets.reshape(-1, 3, 3)
+    return bool(
+        np.all(o[:, 0, :2] == o[:, 1, :2]) and np.all(o[:, 1, :2] == o[:, 2, :2])
+        and np.all(o[:, 1, 2] == o[:, 0, 2] + 1)
+        and np.all(o[:, 2, 2] == o[:, 1, 2] + 1)
+        and np.all(o[:, 0, 2] >= -1))
 
 
 def sparse_conv_apply(feats: jax.Array, table: jax.Array,
                       weights: jax.Array, out_valid: jax.Array) -> jax.Array:
     """feats [V, Cin]; table [K, V]; weights [K, Cin, Cout] -> [V, Cout].
 
-    One batched gather + einsum; misses contribute zero.
+    One batched gather + einsum; misses contribute zero. (A bf16
+    cast-before-gather variant measured NO win here: the random row
+    gather is row-rate-bound, not byte-bound, and XLA's
+    allow-excess-precision elides the operand rounding of f32-accumulated
+    dots anyway — BENCH_NOTES.)
     """
     safe = jnp.clip(table, 0, feats.shape[0] - 1)
     gathered = feats[safe]                      # [K, V, Cin]
@@ -162,18 +221,20 @@ def downsample_coords(grid: SparseGrid, ksize: int, stride: int,
     key = (cand[:, 0].astype(jnp.int32) * (ogy * ogz)
            + cand[:, 1].astype(jnp.int32) * ogz
            + cand[:, 2].astype(jnp.int32))
-    big = jnp.int32(ogx) * ogy * ogz + 1
-    key = jnp.where(cval, key, big)
-    order = jnp.argsort(key)
-    skey = key[order]
-    first = jnp.concatenate(
-        [jnp.ones((1,), bool), skey[1:] != skey[:-1]]) & (skey < big)
-    slot = jnp.cumsum(first) - 1
-    n_out = jnp.sum(first).astype(jnp.int32)
-
+    n_cells = int(ogx) * int(ogy) * int(ogz)
+    key = jnp.where(cval, key, n_cells)
+    # dedup + rank via a dense occupancy map + cumsum instead of the
+    # argsort over K*V candidates the reference's rule builder implies —
+    # an O(cells) streaming pass beats an O(KV log KV) sort-with-gathers
+    # at full scale, and yields the same key-sorted output order.
+    occ = jnp.zeros((n_cells + 1,), jnp.int32).at[key].max(
+        1, mode="promise_in_bounds")
+    csum = jnp.cumsum(occ)
+    n_out = csum[n_cells - 1].astype(jnp.int32)
+    slot = jnp.where(cval, csum[key] - 1, max_out)   # rank among occupied
     out_coords = jnp.zeros((max_out, 3), jnp.int32)
-    src = jnp.where(first, slot, max_out)
-    out_coords = out_coords.at[src].set(cand[order], mode="drop")
+    out_coords = out_coords.at[jnp.clip(slot, 0, max_out)].set(
+        cand, mode="drop")
     out_valid = jnp.arange(max_out) < jnp.minimum(n_out, max_out)
     return out_coords, out_valid, (ogx, ogy, ogz)
 
