@@ -73,6 +73,39 @@ def param_shardings(params, mesh: Mesh, min_dim: int = 1024):
     return jax.tree_util.tree_map(rule, params)
 
 
+def param_shardings_fsdp(params, mesh, axis: str = "data",
+                         min_size: int = 1 << 15):
+    """FSDP (ZeRO-3) parameter layout: every large tensor — and, applied to
+    the optimizer state, its Adam moments — shards ONE dimension over the
+    ``axis`` (data) mesh axis; XLA all-gathers the shards just before use
+    in forward/backward and reduce-scatters the gradient contributions,
+    riding ICI. Replaces the reference's replicated-DDP memory model
+    (every GPU holds full params + moments) for variants too large to
+    replicate. Small tensors (< ``min_size`` elements) stay replicated:
+    their all-gather latency costs more than the memory they hold.
+
+    The dimension sharded is the largest one divisible by the axis size,
+    so kernels [C_in, C_out] split along whichever is bigger and
+    LayerNorm vectors mostly stay whole."""
+    n = mesh.shape[axis]
+
+    def rule(leaf):
+        shape = getattr(leaf, "shape", ())
+        size = 1
+        for d in shape:
+            size *= d
+        if not shape or size < min_size:
+            return replicated(mesh)
+        for i in sorted(range(len(shape)), key=lambda i: -shape[i]):
+            if shape[i] % n == 0:
+                spec = [None] * len(shape)
+                spec[i] = axis
+                return NamedSharding(mesh, P(*spec))
+        return replicated(mesh)
+
+    return jax.tree_util.tree_map(rule, params)
+
+
 def apply_ln_dtype(cfg) -> None:
     """Honor cfg.ln_dtype ("auto" = follow compute_dtype) for every
     LayerNorm built afterwards."""
@@ -131,14 +164,22 @@ def create_train_state(cfg: OcOccNetConfig, rng: jax.Array,
 
 def make_train_step(model: OcOccNetWithLoss, tx, mesh: Mesh,
                     state: TrainState | None = None,
-                    tp_min_dim: int = 1024):
+                    tp_min_dim: int = 1024, fsdp: bool = False,
+                    fsdp_min_size: int = 1 << 15):
     """Returns a jitted (state, batch, rng) -> (state, metrics) step: batch
-    sharded over 'data'; params replicated on a 1D mesh, or tensor-parallel
-    over 'model' on a 2D mesh (pass ``state`` so the parameter layout can be
-    derived — wide MLP kernels shard column-wise, see param_shardings)."""
+    sharded over 'data'; params replicated on a 1D mesh, tensor-parallel
+    over 'model' on a 2D mesh, or FSDP-sharded over 'data' with
+    ``fsdp=True`` (pass ``state`` so the parameter layout can be derived —
+    see param_shardings / param_shardings_fsdp)."""
     bsh = batch_sharding(mesh)
     rsh = replicated(mesh)
-    if state is not None and "model" in mesh.axis_names:
+    if state is not None and fsdp:
+        state_sh = TrainState(
+            rsh, param_shardings_fsdp(state.params, mesh,
+                                      min_size=fsdp_min_size),
+            param_shardings_fsdp(state.opt_state, mesh,
+                                 min_size=fsdp_min_size))
+    elif state is not None and "model" in mesh.axis_names:
         state_sh = TrainState(
             rsh, param_shardings(state.params, mesh, tp_min_dim),
             param_shardings(state.opt_state, mesh, tp_min_dim))
