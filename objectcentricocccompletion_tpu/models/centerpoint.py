@@ -34,6 +34,9 @@ class CenterPointConfig:
     vfe_channels: Sequence[int] = (16, 16)
     num_classes: int = 1
     out_size_factor: int = 8
+    encoder_layout: str = "gather"   # 'gather' | 'column' (same params)
+    encoder_dtype: str = "bfloat16"  # column-layout activations (params f32)
+    encoder_remat: bool = True
 
     @property
     def grid_shape(self):
@@ -68,7 +71,11 @@ class DynamicCenterPoint(nn.Module):
                           (128, 128))),
             grid_shape=c.grid_shape,
             max_voxels_per_stage=(c.max_voxels, c.max_voxels,
-                                  c.max_voxels // 2, c.max_voxels // 4))
+                                  c.max_voxels // 2, c.max_voxels // 4),
+            max_columns_per_stage=(c.max_voxels, c.max_voxels // 2,
+                                   c.max_voxels // 4, c.max_voxels // 8),
+            layout=c.encoder_layout, dtype=c.encoder_dtype,
+            remat_blocks=c.encoder_remat)
         self.backbone = SECOND()
         self.neck = SECONDFPN()
         self.head = cph.CenterHead(num_classes=c.num_classes)

@@ -49,7 +49,7 @@ from ..core import coder
 from ..ops import cluster as cl
 from ..ops import voxelize as vx
 from .layers import Mlp
-from .sparse_encoder import SparseBasicBlock, SubMConv
+from .sparse_encoder import GatherCtx, SparseBasicBlock, SubMConv
 from .vfe import DynamicVFE
 
 from ..ops import sparse_conv as sc
@@ -175,8 +175,9 @@ class SparseUNet(nn.Module):
                 coords, valid = out_coords, out_valid
                 grid = sc.build_grid(coords, valid, ogs)
             table = sc.neighbor_table(grid, coords, valid, offs)
-            x = SubMConv(c, name=f"enc{i}_conv")(x, table, valid)
-            x = SparseBasicBlock(c, name=f"enc{i}_block")(x, table, valid)
+            ctx = GatherCtx(table, valid)
+            x = SubMConv(c, name=f"enc{i}_conv")(x, ctx)
+            x = SparseBasicBlock(c, name=f"enc{i}_block")(x, ctx)
             levels.append((x, coords, valid, grid))
 
         # decoder: coarse -> fine with nearest-parent gather + skip concat
@@ -190,7 +191,7 @@ class SparseUNet(nn.Module):
             x = jnp.concatenate([fx, up], -1)
             table = sc.neighbor_table(fgrid, fcoords, fvalid, offs)
             x = SubMConv(self.channels[i], name=f"dec{i}_conv")(
-                x, table, fvalid)
+                x, GatherCtx(table, fvalid))
             coords, valid, grid = fcoords, fvalid, fgrid
         return x  # per-finest-voxel features
 
@@ -296,7 +297,6 @@ class FSD(nn.Module):
             self.virtual_proj = Mlp(tuple(c.virtual_proj_hidden),
                                     act="gelu")
             self.ori_proj = Mlp(tuple(c.virtual_proj_hidden), act="gelu")
-            from .sparse_encoder import SubMConv
             self.mixer1 = SubMConv(c.virtual_mixer_channels, name="mixer1")
             self.mixer2 = SubMConv(c.virtual_mixer_channels, name="mixer2")
 
@@ -426,8 +426,9 @@ class FSD(nn.Module):
         grid = sc.build_grid(vres.coords, vres.voxel_valid, vgrid)
         table = sc.neighbor_table(grid, vres.coords, vres.voxel_valid,
                                   sc.kernel_offsets(3))
-        x = self.mixer1(feat_v, table, vres.voxel_valid)
-        x = self.mixer2(x, table, vres.voxel_valid)
+        mix_ctx = GatherCtx(table, vres.voxel_valid)
+        x = self.mixer1(feat_v, mix_ctx)
+        x = self.mixer2(x, mix_ctx)
 
         # class-c virtual indicator per voxel
         seg = jnp.where(vres.point2voxel >= 0, vres.point2voxel, V)
