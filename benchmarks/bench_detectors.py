@@ -39,18 +39,37 @@ def synth_frame(max_points, pc_range, num_real=150000, feat_dim=2, seed=0):
 
 
 def timed_steps(step, args, n=10):
+    """Time ``n`` DEPENDENT executions: each iteration's params carry a
+    zero-scaled contribution of the previous grads, so the runtime cannot
+    overlap or drop iterations. (Independent same-input calls through the
+    axon tunnel have produced phantom timings — 0.65 s steps reported as
+    34.6 ms — because blocking one output buffer did not serialize the
+    queue; BENCH_NOTES 'Pallas attention backward' entry.)"""
     import jax
+    import jax.numpy as jnp
+
+    params, rest = args[0], args[1:]
+
+    @jax.jit
+    def chain(p, *r):
+        loss, grads = step(p, *r)
+        # zero-scaled dependency: bitwise no-op on params, true data dep
+        scale = (loss * 0).astype(jnp.float32)
+        new_p = jax.tree_util.tree_map(
+            lambda x, g: x + scale.astype(x.dtype) * g, p, grads)
+        return new_p, loss
+
     t0 = time.time()
-    out = step(*args)
-    jax.block_until_ready(jax.tree_util.tree_leaves(out)[0])
+    p, loss = chain(params, *rest)
+    jax.block_until_ready(jax.tree_util.tree_leaves(p))
     compile_s = time.time() - t0
     for _ in range(3):
-        out = step(*args)
-    jax.block_until_ready(jax.tree_util.tree_leaves(out)[0])
+        p, loss = chain(p, *rest)
+    jax.block_until_ready(jax.tree_util.tree_leaves(p))
     t0 = time.perf_counter()
     for _ in range(n):
-        out = step(*args)
-    jax.block_until_ready(jax.tree_util.tree_leaves(out)[0])
+        p, loss = chain(p, *rest)
+    jax.block_until_ready(jax.tree_util.tree_leaves(p))
     return compile_s, (time.perf_counter() - t0) / n * 1e3
 
 

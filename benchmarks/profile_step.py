@@ -168,3 +168,52 @@ if __name__ == "__main__":
     os.makedirs(log_dir, exist_ok=True)
     run_and_trace(log_dir)
     summarize(log_dir)
+
+
+def summarize_by_module(log_dir, top=30, depth=4):
+    """Aggregate device time by the flax module path inside the op_name
+    metadata (e.g. jit(step_fn)/.../net/occ_decoder/mlp/...), so one can
+    split the aggregated Dense/LN source lines by model component."""
+    import re
+    paths = glob.glob(os.path.join(log_dir, "**", "*.trace.json.gz"),
+                      recursive=True)
+    if not paths:
+        print("no trace.json.gz found under", log_dir)
+        return
+    with gzip.open(max(paths, key=os.path.getmtime), "rt") as f:
+        data = json.load(f)
+    events = data.get("traceEvents", [])
+    tpu_pids = set()
+    tnames = {}
+    for e in events:
+        if e.get("ph") == "M" and e.get("name") == "process_name" \
+                and "TPU" in e["args"].get("name", ""):
+            tpu_pids.add(e["pid"])
+        if e.get("ph") == "M" and e.get("name") == "thread_name":
+            tnames[(e["pid"], e["tid"])] = e["args"].get("name", "")
+    tot = defaultdict(float)
+    total = 0.0
+    for e in events:
+        if e.get("ph") != "X" or e.get("pid") not in tpu_pids:
+            continue
+        if "Steps" in tnames.get((e["pid"], e["tid"]), ""):
+            continue
+        a = e.get("args") or {}
+        if "device_duration_ps" not in a:
+            continue
+        if e.get("name", "").startswith("jit_"):
+            continue
+        dur = e.get("dur", 0)
+        if dur <= 0:
+            continue
+        op = a.get("long_name", "") or a.get("op_name", "") or "(none)"
+        # strip the jit wrapper and transpose() markers, keep a prefix
+        op = re.sub(r"^jit\([^)]*\)/", "", op)
+        parts = [p for p in op.split("/") if p]
+        key = "/".join(parts[:depth]) if parts else "(none)"
+        tot[key] += dur
+        total += dur
+    print(f"\ndevice time by module path (depth {depth}, total "
+          f"{total/1e3:.1f} ms traced)")
+    for k, v in sorted(tot.items(), key=lambda kv: -kv[1])[:top]:
+        print(f"{v/1e3:9.2f} {100*v/max(total,1):5.1f}  {k[:110]}")

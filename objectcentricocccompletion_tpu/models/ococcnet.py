@@ -240,6 +240,11 @@ class OcOccNet(nn.Module):
             [pts_xyz, pts_feats, pool.local_xyz, pool.boundary_offset,
              pool.is_in_margin[..., None], pool.rel_xyz], axis=-1)
         pc = pk.pack_rows(allc, packed.order)
+        # sequence parallelism: pin the packed point axis to the model
+        # mesh axis (no-op unless enabled) — every downstream per-point
+        # matmul/LN shards, XLA inserts the segment-reduce collectives
+        from ..parallel import sp as _sp
+        pc = _sp.shard_seq(pc, 1)
         F = pts_feats.shape[-1]
         p_xyz = pc[..., 0:3]
         p_feats = pc[..., 3:3 + F]
@@ -415,6 +420,8 @@ class OcOccNetWithLoss(nn.Module):
         # --- occupancy completion ---
         queries = gt_occ_to_roi_frame(batch.occ_points, batch.gt_boxes,
                                       batch.rois)  # [B, L, K, 3]
+        from ..parallel import sp as _sp
+        queries = _sp.shard_seq(queries, 2)  # SP: shard the K query axis
         occ_logits = self.net.decode_occ(out["shape_latent"], queries,
                                          train=train)
         occ_lab = jnp.broadcast_to(

@@ -165,12 +165,18 @@ def create_train_state(cfg: OcOccNetConfig, rng: jax.Array,
 def make_train_step(model: OcOccNetWithLoss, tx, mesh: Mesh,
                     state: TrainState | None = None,
                     tp_min_dim: int = 1024, fsdp: bool = False,
-                    fsdp_min_size: int = 1 << 15):
+                    fsdp_min_size: int = 1 << 15,
+                    sequence_parallel: bool = False):
     """Returns a jitted (state, batch, rng) -> (state, metrics) step: batch
     sharded over 'data'; params replicated on a 1D mesh, tensor-parallel
     over 'model' on a 2D mesh, or FSDP-sharded over 'data' with
     ``fsdp=True`` (pass ``state`` so the parameter layout can be derived —
-    see param_shardings / param_shardings_fsdp)."""
+    see param_shardings / param_shardings_fsdp). ``sequence_parallel=True``
+    additionally shards the packed point axis and the occ-decoder query
+    axis over 'model' (parallel/sp.py) — the activation-memory lever for
+    long tracklets and big point budgets."""
+    if sequence_parallel:
+        assert "model" in mesh.axis_names, "SP needs a 'model' mesh axis"
     bsh = batch_sharding(mesh)
     rsh = replicated(mesh)
     if state is not None and fsdp:
@@ -187,14 +193,23 @@ def make_train_step(model: OcOccNetWithLoss, tx, mesh: Mesh,
         state_sh = rsh
 
     def step_fn(state: TrainState, batch: TrackletBatch, rng: jax.Array):
-        def loss_fn(params):
-            total, aux = model.apply(
-                {"params": params}, batch, train=True,
-                rngs={"dropout": jax.random.fold_in(rng, state.step)})
-            return total, aux
+        # the SP globals are set only while THIS step traces, so other
+        # steps built in the same process stay unconstrained
+        from . import sp as _sp
+        if sequence_parallel:
+            _sp.set_sequence_parallel(mesh, "model")
+        try:
+            def loss_fn(params):
+                total, aux = model.apply(
+                    {"params": params}, batch, train=True,
+                    rngs={"dropout": jax.random.fold_in(rng, state.step)})
+                return total, aux
 
-        (loss, aux), grads = jax.value_and_grad(loss_fn, has_aux=True)(
-            state.params)
+            (loss, aux), grads = jax.value_and_grad(
+                loss_fn, has_aux=True)(state.params)
+        finally:
+            if sequence_parallel:
+                _sp.clear_sequence_parallel()
         updates, opt_state = tx.update(grads, state.opt_state, state.params)
         params = optax.apply_updates(state.params, updates)
         new_state = TrainState(state.step + 1, params, opt_state)
