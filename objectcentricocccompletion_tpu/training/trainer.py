@@ -77,11 +77,23 @@ class MetricLogger:
 def train(cfg: OcOccNetConfig, dataset, work_dir: str,
           total_steps: int | None = None, ckpt_interval: int = 1000,
           log_interval: int = 50, resume: bool = True, seed: int = 0,
-          devices=None, hooks=None):
-    """Full training run; returns the final TrainState."""
-    mesh = make_mesh(devices)
-    n_dev = int(mesh.devices.size)
-    global_batch = cfg.batch_size * n_dev
+          devices=None, hooks=None, tp: int = 1, fsdp: bool = False,
+          sequence_parallel: bool = False):
+    """Full training run; returns the final TrainState.
+
+    Parallelism: ``tp`` > 1 builds a [data, model] mesh and shards wide
+    MLP kernels (tensor parallel); ``sequence_parallel`` additionally
+    shards the packed point / occ-query axes over 'model';
+    ``fsdp`` shards params + optimizer moments over 'data' (ZeRO-3)."""
+    if tp > 1:
+        from ..parallel.train import make_mesh_2d
+        import jax as _jax
+        devs = devices if devices is not None else _jax.devices()
+        mesh = make_mesh_2d(len(devs) // tp, tp, devs)
+    else:
+        mesh = make_mesh(devices)
+    data_size = mesh.shape.get("data", int(mesh.devices.size))
+    global_batch = cfg.batch_size * data_size
     steps_per_epoch = max(len(dataset) // global_batch, 1)
     if total_steps is None:
         total_steps = steps_per_epoch * cfg.max_epochs
@@ -101,7 +113,9 @@ def train(cfg: OcOccNetConfig, dataset, work_dir: str,
         if restored is not None:
             state = jax.device_put(restored)
 
-    step_fn = make_train_step(model, tx, mesh)
+    step_fn = make_train_step(
+        model, tx, mesh, state=state if (tp > 1 or fsdp) else None,
+        fsdp=fsdp, sequence_parallel=sequence_parallel)
     rng = jax.random.PRNGKey(seed + 1)
     start = int(state.step)
     t_last = time.time()

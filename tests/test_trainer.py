@@ -128,3 +128,24 @@ def test_ctrl_ped_trains_on_pedestrian_tracklets(tmp_path):
     assert all(np.isfinite(l) for l in losses)
     assert losses[-1] != losses[0]
     assert float(aux["loss_rcnn_corner"]) == 0.0   # ped: corner loss off
+
+
+def test_train_parallelism_options(tmp_path):
+    """train() smoke with the full parallelism stack: [4, 2] DP x TP mesh,
+    FSDP state sharding, and sequence parallelism on the packed layout."""
+    import dataclasses
+    import jax
+    import numpy as np
+    cfg = dataclasses.replace(tiny_config(), packed_point_budget=64,
+                              packed_quantum=2)
+    paths = write_synthetic_dataset(str(tmp_path / "ds"), num_tracklets=4,
+                                    track_len=10)
+    ds = TrackletDataset(cfg=cfg, min_tracklet_points=10, **paths)
+    state = train(cfg, ds, str(tmp_path / "work"), total_steps=3,
+                  ckpt_interval=3, log_interval=1, tp=2, fsdp=True,
+                  sequence_parallel=True)
+    assert int(state.step) == 3
+    import json, os
+    lines = [json.loads(l) for l in
+             open(os.path.join(str(tmp_path / "work"), "metrics.jsonl"))]
+    assert np.isfinite(lines[-1]["loss"])

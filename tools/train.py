@@ -65,6 +65,17 @@ def main():
                         "sampling database")
     p.add_argument("--cpu", action="store_true",
                    help="force the CPU backend (smoke runs)")
+    # parallelism (ococcnet/ctrl): DP is implicit over all devices
+    p.add_argument("--tp", type=int, default=1,
+                   help="tensor-parallel size: [data, model] mesh, wide "
+                        "MLP kernels shard over 'model'")
+    p.add_argument("--fsdp", action="store_true",
+                   help="shard params + optimizer moments over the data "
+                        "axis (ZeRO-3)")
+    p.add_argument("--sequence-parallel", action="store_true",
+                   help="shard the packed point / occ-query axes over "
+                        "'model' (requires --tp > 1 and the packed "
+                        "layout)")
     # multi-host launch (one process per host; replaces dist_train.sh)
     p.add_argument("--coordinator", default=None,
                    help="coordinator host:port for multi-host runs")
@@ -112,7 +123,8 @@ def main():
         print(f"dataset: {len(ds)} tracklets")
         train(cfg, ds, args.work_dir, total_steps=args.total_steps,
               ckpt_interval=args.ckpt_interval, seed=args.seed,
-              resume=not args.no_resume)
+              resume=not args.no_resume, tp=args.tp, fsdp=args.fsdp,
+              sequence_parallel=args.sequence_parallel)
         return
 
     # frame-level detector families
