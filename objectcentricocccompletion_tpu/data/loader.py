@@ -162,3 +162,155 @@ def write_synthetic_dataset(root: str, num_tracklets: int = 4,
         pickle.dump(poses, f)
     return dict(proposals_file=prop_path, gt_candidates_file=cand_path,
                 pose_file=pose_path, occ_anno_root=occ_root)
+
+
+# ---------------------------------------------------------------------------
+# Parallel prefetch loader
+# ---------------------------------------------------------------------------
+
+_WORKER_DS: list = [None]    # per-worker dataset (built by _worker_init)
+
+
+def _worker_init(ctor_kwargs, augment):
+    # spawned worker: build a private dataset from the ctor args (nothing
+    # big crosses the process boundary; the pkl files load once per
+    # worker). Workers run numpy only — no accelerator backend is touched.
+    from .tracklet_dataset import TrackletDataset
+    ds = TrackletDataset(**ctor_kwargs)
+    ds.augment = augment
+    _WORKER_DS[0] = ds
+
+
+def _worker_build(args):
+    idx, seed = args
+    return _WORKER_DS[0].build_sample(idx, np.random.RandomState(seed))
+
+
+class PrefetchLoader:
+    """TrainLoader with worker processes and a prefetch window.
+
+    The single-threaded build path measures ~60-95 tracklets/s against the
+    chip's ~200/s train-step consumption (BENCH_NOTES "input pipeline"),
+    so real training is input-bound without this — the reference leans on
+    torch ``DataLoader(workers=...)`` for the same reason. Workers use the
+    SPAWN start method (forking a process that has initialized JAX
+    deadlocks — observed, and warned about by JAX) and each rebuilds the
+    dataset from its ctor args; batches stay ``prefetch`` deep in flight
+    while the chip runs the current step.
+
+    Determinism: the epoch permutation comes from the same seeded
+    RandomState as TrainLoader; each sample additionally draws a dedicated
+    seed from that stream in schedule order, so batches are reproducible
+    for a fixed (seed, num_shards, shard_id) regardless of worker count.
+    """
+
+    def __init__(self, dataset: TrackletDataset, batch_size: int,
+                 seed: int = 0, num_shards: int = 1, shard_id: int = 0,
+                 workers: int = 8, prefetch: int = 4):
+        import multiprocessing as mp
+        self.ds = dataset
+        self.batch_size = batch_size
+        self.rng = np.random.RandomState(seed)
+        self.num_shards = num_shards
+        self.shard_id = shard_id
+        self._order: list = []
+        self._pending: list = []
+        ctx = mp.get_context("spawn")
+        self._pool = ctx.Pool(
+            workers, initializer=_worker_init,
+            initargs=(dataset._ctor_kwargs, dataset.augment))
+        self._prefetch = max(prefetch, 1)
+        for _ in range(self._prefetch):
+            self._submit_batch()
+
+    def _next_index(self) -> int:
+        if not self._order:
+            order = list(self.rng.permutation(len(self.ds)))
+            self._order = order[self.shard_id::self.num_shards]
+        return self._order.pop()
+
+    def _submit_batch(self) -> None:
+        tasks = [(self._next_index(),
+                  int(self.rng.randint(0, 2 ** 31 - 1)))
+                 for _ in range(self.batch_size)]
+        self._pending.append(
+            [self._pool.apply_async(_worker_build, (t,)) for t in tasks])
+
+    def __iter__(self):
+        return self
+
+    def __next__(self) -> TrackletBatch:
+        self._submit_batch()
+        batch = self._pending.pop(0)
+        return collate([r.get() for r in batch])
+
+    def close(self) -> None:
+        self._pool.terminate()
+        self._pool.join()
+
+    def __del__(self):
+        try:
+            self.close()
+        except Exception:
+            pass
+
+
+def make_loader(dataset: TrackletDataset, batch_size: int, seed: int = 0,
+                num_shards: int = 1, shard_id: int = 0, workers: int = 0,
+                prefetch: int = 4):
+    """workers == 0 -> the serial TrainLoader; > 0 -> PrefetchLoader."""
+    if workers <= 0:
+        return TrainLoader(dataset, batch_size, seed=seed,
+                           num_shards=num_shards, shard_id=shard_id)
+    return PrefetchLoader(dataset, batch_size, seed=seed,
+                          num_shards=num_shards, shard_id=shard_id,
+                          workers=workers, prefetch=prefetch)
+
+
+class ThreadPrefetcher:
+    """Background-thread double buffering over any loader.
+
+    Overlaps host-side sample building with the device step: the trainer
+    sees ``max(step_time, build_time)`` instead of their sum. Always
+    beneficial regardless of core count (the build thread runs while the
+    chip computes), and composes with PrefetchLoader's worker processes on
+    multi-core hosts.
+    """
+
+    def __init__(self, loader, depth: int = 2):
+        import queue
+        import threading
+        self._loader = loader
+        self._q: "queue.Queue" = queue.Queue(maxsize=max(depth, 1))
+        self._stop = threading.Event()
+
+        def run():
+            while not self._stop.is_set():
+                try:
+                    item = next(self._loader)
+                except Exception as e:       # surface in the consumer
+                    self._q.put(e)
+                    return
+                self._q.put(item)
+
+        self._thread = threading.Thread(target=run, daemon=True)
+        self._thread.start()
+
+    def __iter__(self):
+        return self
+
+    def __next__(self):
+        item = self._q.get()
+        if isinstance(item, Exception):
+            raise item
+        return item
+
+    def close(self) -> None:
+        self._stop.set()
+        try:
+            while True:
+                self._q.get_nowait()
+        except Exception:
+            pass
+        if hasattr(self._loader, "close"):
+            self._loader.close()

@@ -117,6 +117,18 @@ class TrackletDataset:
                  mirror_occ: bool = False, frame_dropout: float = 0.0,
                  occ_info_file: str | None = None,
                  occ_compute_score: bool = False):
+        # ctor args kept so loader worker processes (spawn start method)
+        # can rebuild an identical dataset without pickling this object
+        self._ctor_kwargs = dict(
+            proposals_file=proposals_file,
+            gt_candidates_file=gt_candidates_file, pose_file=pose_file,
+            occ_anno_root=occ_anno_root, cfg=cfg,
+            class_names=tuple(class_names),
+            min_tracklet_points=min_tracklet_points,
+            min_tracklet_length=min_tracklet_length, training=training,
+            load_interval=load_interval, mirror_occ=mirror_occ,
+            frame_dropout=frame_dropout, occ_info_file=occ_info_file,
+            occ_compute_score=occ_compute_score)
         self.cfg = cfg
         self.training = training
         # augmentation can be toggled off mid-training
@@ -168,6 +180,10 @@ class TrackletDataset:
         self.records = self.records[::load_interval]
         self.candidates = self.candidates[::load_interval]
         self.pts_files = self.pts_files[::load_interval]
+        # select_candidate is deterministic in (record, candidates) —
+        # memoized per index (it was 69% of build_sample when recomputed
+        # every epoch: per-frame rotated-IoU over every candidate)
+        self._cand_cache: dict = {}
 
         self.poses = {k: np.asarray(v, np.float64)
                       for k, v in _load_pkl(pose_file).items()}
@@ -279,7 +295,10 @@ class TrackletDataset:
         T = len(rec)
 
         # --- occupancy GT (sampled in GT-grid frame, before any aug) ---
-        ci = self.select_candidate(rec, cands)
+        ci = self._cand_cache.get(index)
+        if ci is None:
+            ci = self.select_candidate(rec, cands)
+            self._cand_cache[index] = ci
         if ci >= 0:
             gt_rec = cands[ci]
             occ_pts, occ_lab, occ_score = self.sample_occ(

@@ -18,7 +18,7 @@ import numpy as np
 import orbax.checkpoint as ocp
 
 from ..configs.ococcnet_config import OcOccNetConfig
-from ..data.loader import TrainLoader
+from ..data.loader import ThreadPrefetcher, TrainLoader, make_loader
 from ..parallel.train import (TrainState, create_train_state, make_mesh,
                               make_train_step, shard_batch)
 
@@ -78,7 +78,8 @@ def train(cfg: OcOccNetConfig, dataset, work_dir: str,
           total_steps: int | None = None, ckpt_interval: int = 1000,
           log_interval: int = 50, resume: bool = True, seed: int = 0,
           devices=None, hooks=None, tp: int = 1, fsdp: bool = False,
-          sequence_parallel: bool = False):
+          sequence_parallel: bool = False, loader_workers: int = 0,
+          prefetch: bool = True):
     """Full training run; returns the final TrainState.
 
     Parallelism: ``tp`` > 1 builds a [data, model] mesh and shards wide
@@ -98,8 +99,12 @@ def train(cfg: OcOccNetConfig, dataset, work_dir: str,
     if total_steps is None:
         total_steps = steps_per_epoch * cfg.max_epochs
 
-    loader = TrainLoader(dataset, global_batch, seed=seed)
+    loader = make_loader(dataset, global_batch, seed=seed,
+                         workers=loader_workers)
     sample = next(loader)
+    if prefetch:
+        # background thread: sample building overlaps the device step
+        loader = ThreadPrefetcher(loader, depth=2)
     cpu = jax.devices("cpu")[0]
     with jax.default_device(cpu):
         model, state, tx, schedule = create_train_state(
@@ -134,4 +139,6 @@ def train(cfg: OcOccNetConfig, dataset, work_dir: str,
         if (step + 1) % ckpt_interval == 0 or step + 1 == total_steps:
             ckpt.save(step + 1, jax.device_get(state), cfg)
     ckpt.wait()
+    if hasattr(loader, "close"):
+        loader.close()
     return state

@@ -72,6 +72,10 @@ def main():
     p.add_argument("--fsdp", action="store_true",
                    help="shard params + optimizer moments over the data "
                         "axis (ZeRO-3)")
+    p.add_argument("--loader-workers", type=int, default=0,
+                   help="sample-building worker processes (spawn); 0 = "
+                        "in-process build with a background prefetch "
+                        "thread")
     p.add_argument("--sequence-parallel", action="store_true",
                    help="shard the packed point / occ-query axes over "
                         "'model' (requires --tp > 1 and the packed "
@@ -124,7 +128,8 @@ def main():
         train(cfg, ds, args.work_dir, total_steps=args.total_steps,
               ckpt_interval=args.ckpt_interval, seed=args.seed,
               resume=not args.no_resume, tp=args.tp, fsdp=args.fsdp,
-              sequence_parallel=args.sequence_parallel)
+              sequence_parallel=args.sequence_parallel,
+              loader_workers=args.loader_workers)
         return
 
     # frame-level detector families
