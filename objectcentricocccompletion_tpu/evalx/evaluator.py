@@ -60,6 +60,24 @@ def pad_to_bucket(sample: dict, cfg: OcOccNetConfig) -> tuple[dict, int]:
     return out, T
 
 
+def _sharded_jit(fn, rsh):
+    """jit with every input/output replicated on an explicit mesh —
+    the sharded compile path, which the remote TPU compiler handles at
+    full scale where plain jax.jit hangs (BENCH_NOTES)."""
+    import jax as _jax
+
+    jitted = _jax.jit(fn)
+
+    def call(*args):
+        args = _jax.tree_util.tree_map(
+            lambda x: _jax.device_put(x, rsh)
+            if hasattr(x, "shape") else x, args)
+        return jitted(*args)
+
+    call._jitted = jitted
+    return call
+
+
 class Evaluator:
     def __init__(self, model: OcOccNetWithLoss, params, dataset: TrackletDataset,
                  cfg: OcOccNetConfig, occ_label_thresh: float | None = None,
@@ -87,6 +105,14 @@ class Evaluator:
         self._occ_eval = {}
         self._save_occ = {}
         self._tune = None
+        # jit through an explicit (local, 1-device-or-more) mesh: plain
+        # jax.jit of full-size graphs has been observed to HANG the
+        # remote TPU compiler, while the sharded compile path is fine
+        # (same workaround as parallel/train.py; .claude verify notes)
+        import numpy as _np
+        from jax.sharding import Mesh, NamedSharding, PartitionSpec
+        self._mesh = Mesh(_np.asarray(jax.local_devices()[:1]), ("data",))
+        self._rsh = NamedSharding(self._mesh, PartitionSpec())
 
     def _maybe_tune(self, pred: dict, padded: dict) -> dict:
         """Adam-optimize each RoI's shape latent to fit the occupancy
@@ -116,7 +142,7 @@ class Evaluator:
                 return ot.tune_latent(decode, latent, queries, labels, msk,
                                       self.online_tuning_iters,
                                       self.online_tuning_lr)
-            self._tune = jax.jit(fn)
+            self._tune = _sharded_jit(fn, self._rsh)
         tuned = self._tune(self.params, pred["shape_latent"][0],
                            jnp.asarray(padded["rois"]),
                            jnp.asarray(padded["points"]),
@@ -137,7 +163,7 @@ class Evaluator:
                 def fn(params, batch):
                     return self.model.apply({"params": params}, batch,
                                             method=self.model.predict)
-            self._predict[L] = jax.jit(fn)
+            self._predict[L] = _sharded_jit(fn, self._rsh)
         return self._predict[L]
 
     def _occ_fn(self, L: int):
@@ -150,7 +176,7 @@ class Evaluator:
                 return occ_iou_mod.occ_iou_per_frame(
                     decode, latent, rois, gt_boxes, gt_valid, pts, lab, msk,
                     self.cfg.occ_pos_thresh)
-            self._occ_eval[L] = jax.jit(fn)
+            self._occ_eval[L] = _sharded_jit(fn, self._rsh)
         return self._occ_eval[L]
 
     def run(self, out_dir: str, max_tracklets: int | None = None,
@@ -309,7 +335,7 @@ class Evaluator:
                 prob = jax.nn.sigmoid(logits)            # [L, Kq]
                 ego = box_ops.local_to_global(queries, rois)  # [L, Kq, 3]
                 return prob, ego
-            self._save_occ[key] = jax.jit(fn)
+            self._save_occ[key] = _sharded_jit(fn, self._rsh)
         return self._save_occ[key]
 
     def save_occ(self, out_root: str, rec, sample: dict, pred, T: int,
