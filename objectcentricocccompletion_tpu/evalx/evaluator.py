@@ -329,10 +329,28 @@ class Evaluator:
             from ..core import boxes as box_ops
 
             def fn(params, latent, queries, rois):
-                logits = self.model.apply(
-                    {"params": params}, latent, queries,
-                    method=self.model.decode_occ_queries)
-                prob = jax.nn.sigmoid(logits)            # [L, Kq]
+                # decode in frame chunks: one shot at long buckets
+                # materializes [L, Kq, 1024] decoder activations
+                # (HBM OOM at L=128, Kq=16k — see occ_iou_per_frame)
+                L = latent.shape[0]
+                chunk = max(min(16, L), 1)
+                pad = (-L) % chunk
+                lat_p = jnp.pad(latent, ((0, pad), (0, 0)))
+                q_p = jnp.pad(queries, ((0, pad), (0, 0), (0, 0)))
+                n_chunks = (L + pad) // chunk
+
+                def one(args):
+                    lat, q = args
+                    logits = self.model.apply(
+                        {"params": params}, lat, q,
+                        method=self.model.decode_occ_queries)
+                    return jax.nn.sigmoid(logits)
+
+                prob = jax.lax.map(
+                    one, (lat_p.reshape(n_chunks, chunk, -1),
+                          q_p.reshape(n_chunks, chunk,
+                                      *queries.shape[1:])))
+                prob = prob.reshape(-1, queries.shape[1])[:L]
                 ego = box_ops.local_to_global(queries, rois)  # [L, Kq, 3]
                 return prob, ego
             self._save_occ[key] = _sharded_jit(fn, self._rsh)

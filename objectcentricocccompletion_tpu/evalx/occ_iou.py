@@ -38,16 +38,39 @@ def occ_iou_per_frame(decode_fn, shape_latent, rois, gt_boxes, gt_valid,
     """
     queries = gt_occ_to_roi_frame(occ_points[None], gt_boxes[None],
                                   rois[None])[0]  # [L, K, 3]
-    logits = decode_fn(shape_latent, queries)
-    pred = jax.nn.sigmoid(logits) > pos_thresh
-    half = 0.5 * rois[:, None, 3:6]
-    inside = jnp.all(jnp.abs(queries) <= half, axis=-1)
-    pred = pred & inside                       # ignore_outside_occ
-    gt_occ = (occ_labels[None] == 1) & occ_mask[None]
-    valid = occ_mask[None] & gt_valid[:, None]
-    inter = jnp.sum((pred & gt_occ) & valid, axis=-1)
-    union = jnp.sum((pred | gt_occ) & valid, axis=-1)
-    return inter, union
+    gt_occ = (occ_labels == 1) & occ_mask
+
+    # decode in frame chunks: one shot at L=128 frames x 16k queries
+    # materializes [L, K, 1024] decoder activations (8.6 GB f32 — measured
+    # HBM OOM at the 256-frame eval bucket); lax.map bounds the live set
+    # to one chunk
+    L = queries.shape[0]
+    chunk = max(min(16, L), 1)
+    pad = (-L) % chunk
+    q_p = jnp.pad(queries, ((0, pad), (0, 0), (0, 0)))
+    lat_p = jnp.pad(shape_latent, ((0, pad), (0, 0)))
+    rois_p = jnp.pad(rois, ((0, pad), (0, 0)))
+    gtv_p = jnp.pad(gt_valid, ((0, pad),))
+
+    def one_chunk(args):
+        lat, q, r, gv = args
+        logits = decode_fn(lat, q)
+        pred = jax.nn.sigmoid(logits) > pos_thresh
+        half = 0.5 * r[:, None, 3:6]
+        pred = pred & jnp.all(jnp.abs(q) <= half, axis=-1)  # outside=free
+        valid = occ_mask[None] & gv[:, None]
+        inter = jnp.sum((pred & gt_occ[None]) & valid, axis=-1)
+        union = jnp.sum((pred | gt_occ[None]) & valid, axis=-1)
+        return inter, union
+
+    n_chunks = (L + pad) // chunk
+    inter, union = jax.lax.map(
+        one_chunk,
+        (lat_p.reshape(n_chunks, chunk, -1),
+         q_p.reshape(n_chunks, chunk, *queries.shape[1:]),
+         rois_p.reshape(n_chunks, chunk, -1),
+         gtv_p.reshape(n_chunks, chunk)))
+    return inter.reshape(-1)[:L], union.reshape(-1)[:L]
 
 
 @dataclass
