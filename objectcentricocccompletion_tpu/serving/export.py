@@ -41,17 +41,6 @@ def _flatten_params(params) -> dict:
     return flat
 
 
-def _unflatten_params(flat: dict, treedef_params):
-    """Rebuild the param pytree of ``treedef_params`` from the flat dict."""
-    leaves = []
-    for path, leaf in jax.tree_util.tree_flatten_with_path(
-            treedef_params)[0]:
-        key = "/".join(getattr(p, "key", str(p)) for p in path)
-        leaves.append(flat[key])
-    return jax.tree_util.tree_unflatten(
-        jax.tree_util.tree_structure(treedef_params), leaves)
-
-
 @dataclasses.dataclass
 class ServingBundle:
     run: Callable          # (TrackletBatch) -> predictions dict

@@ -48,6 +48,14 @@ def main():
                    help="online test-time latent tuning iterations")
     p.add_argument("--tiny", action="store_true",
                    help="tiny config for smoke runs")
+    p.add_argument("--eval-layout", choices=["dense", "packed"],
+                   default="dense",
+                   help="point layout for the eval forward. The param "
+                        "tree is layout-independent, so a packed-trained "
+                        "checkpoint evaluates under either; 'dense' keeps "
+                        "MORE points per frame (up to the per-frame cap "
+                        "instead of the packed waterfill) and compiles "
+                        "far faster at long eval buckets")
     p.add_argument("--cpu", action="store_true",
                    help="force the CPU backend (smoke runs)")
     args = p.parse_args()
@@ -88,6 +96,8 @@ def main():
         args.no_occ = True   # no occupancy decoder in the CTRL variant
     else:
         cfg = tiny_config() if args.tiny else OcOccNetConfig()
+    if args.eval_layout == "dense":
+        cfg = dataclasses.replace(cfg, packed_point_budget=None)
     ds = TrackletDataset(
         proposals_file=args.proposals,
         gt_candidates_file=args.gt_candidates,
