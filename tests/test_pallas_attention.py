@@ -141,3 +141,30 @@ def test_pallas_custom_vjp_end_to_end():
     for a, b in zip(gp, gr):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    atol=3e-5, rtol=3e-5)
+
+
+@pytest.mark.parametrize("guard", [0, 8])
+def test_pallas_bwd_fullstore_matches_jnp_vjp(guard):
+    """Variant D of the backward kernel (whole-block stores, optional zero
+    guard windows) equals the einsum VJP."""
+    rng = np.random.RandomState(3)
+    W, T, C, H = 4, 16, 32, 4
+    q = jnp.asarray(rng.randn(W, T, C).astype(np.float32))
+    k = jnp.asarray(rng.randn(W, T, C).astype(np.float32))
+    v = jnp.asarray(rng.randn(W, T, C).astype(np.float32))
+    g = jnp.asarray(rng.randn(W, T, C).astype(np.float32))
+    mask = jnp.asarray(rng.rand(W, T) > 0.3).at[:, 0].set(True)
+
+    from objectcentricocccompletion_tpu.ops.pallas_attention import \
+        pallas_window_attention_bwd_fullstore
+    _, vjp = jax.vjp(
+        lambda q_, k_, v_: jnp_window_attention(q_, k_, v_, mask, H),
+        q, k, v)
+    ref = vjp(g)
+    out = pallas_window_attention_bwd_fullstore(q, k, v, mask, g, H,
+                                                interpret=True,
+                                                guard_windows=guard)
+    for a, b in zip(out, ref):
+        assert a.shape == (W, T, C)
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=3e-5, rtol=3e-5)
