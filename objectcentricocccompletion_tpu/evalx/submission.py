@@ -175,16 +175,20 @@ def remove_empty_predictions(bin_path: str, out_path: str, get_points,
     from .waymo_bin import read_bin
 
     def inbox_counts(pts, boxes):
-        """[N,3] points x [R,7] bottom-center boxes -> [R] point counts."""
+        """[N,3] points x [R,7] waymo boxes (gravity cx,cy,cz, W, L, H,
+        heading = world angle of the LENGTH axis) -> [R] point counts.
+
+        The test runs directly in the waymo frame — no internal-layout
+        conversion, so there is exactly one rotation convention in play."""
         if len(pts) == 0 or len(boxes) == 0:
             return np.zeros(len(boxes), np.int64)
         d = pts[None, :, :2] - boxes[:, None, :2]          # [R, N, 2]
-        c, s = np.cos(-boxes[:, 6]), np.sin(-boxes[:, 6])
-        lx = d[..., 0] * c[:, None] - d[..., 1] * s[:, None]
-        ly = d[..., 0] * s[:, None] + d[..., 1] * c[:, None]
-        lz = pts[None, :, 2] - (boxes[:, None, 2] + boxes[:, None, 5] / 2)
-        inside = ((np.abs(lx) <= boxes[:, None, 3] / 2)
-                  & (np.abs(ly) <= boxes[:, None, 4] / 2)
+        c, s = np.cos(boxes[:, 6]), np.sin(boxes[:, 6])
+        ll = d[..., 0] * c[:, None] + d[..., 1] * s[:, None]   # along length
+        lw = -d[..., 0] * s[:, None] + d[..., 1] * c[:, None]  # along width
+        lz = pts[None, :, 2] - boxes[:, None, 2]
+        inside = ((np.abs(ll) <= boxes[:, None, 4] / 2)
+                  & (np.abs(lw) <= boxes[:, None, 3] / 2)
                   & (np.abs(lz) <= boxes[:, None, 5] / 2))
         return inside.sum(1)
 
@@ -198,13 +202,9 @@ def remove_empty_predictions(bin_path: str, out_path: str, get_points,
     keep = np.zeros(len(records), bool)
     for (ctx, ts), idxs in by_frame.items():
         pts = np.asarray(get_points(ctx, ts))[:, :3]
-        boxes = []
-        for i in idxs:
-            b = decoded[i]["box"]
-            # waymo gravity-center box -> our bottom-center LiDAR layout
-            cz = b[3] - b[6] / 2
-            yaw = -(b[7] + np.pi / 2)
-            boxes.append([b[1], b[2], cz, b[4], b[5], b[6], yaw])
+        # decoded box = {field number: value}: 1..7 = cx,cy,cz,W,L,H,heading
+        boxes = [[decoded[i]["box"].get(k, 0.0) for k in range(1, 8)]
+                 for i in idxs]
         boxes = np.asarray(boxes, np.float64).reshape(-1, 7)
         counts = inbox_counts(pts, boxes)
         for i, c in zip(idxs, counts):

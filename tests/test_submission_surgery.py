@@ -61,6 +61,29 @@ def test_detect_object_types(tmp_path):
     assert detect_object_types(bin_path) == [1, 4]
 
 
+def test_remove_empty_rotated_box(tmp_path):
+    """Membership must follow the box's true heading, not its mirror.
+
+    Internal yaw pi/4 -> waymo heading -3pi/4: the length axis points along
+    (-s2, -s2). A point 2.5 m down that axis is inside (L=6); the SAME
+    offset mirrored across the world x-axis is outside (it sits 2.5 m off
+    the width axis, W=1). A heading-sign bug classifies both wrongly."""
+    s2 = np.sqrt(2.0) / 2.0
+    box = (0.0, 0.0, 0.0, 1.0, 6.0, 2.0, np.pi / 4)  # internal layout
+    objs = [WaymoObject(box, 0.9, 1, "on_axis", "seg", 1),
+            WaymoObject(box, 0.9, 1, "mirrored", "seg", 2)]
+    bin_path = str(tmp_path / "rot.bin")
+    write_bin(objs, bin_path)
+    pts_by_ts = {1: np.array([[-2.5 * s2, -2.5 * s2, 1.0]]),   # true inside
+                 2: np.array([[-2.5 * s2, +2.5 * s2, 1.0]])}   # true outside
+    out = str(tmp_path / "rot_filtered.bin")
+    kept, total = remove_empty_predictions(
+        bin_path, out, lambda seg, ts: pts_by_ts[ts])
+    assert (kept, total) == (1, 2)
+    recs = list(iter_raw_objects(out))
+    assert len(recs) == 1 and b"on_axis" in recs[0]
+
+
 def test_remove_empty_predictions(tmp_path):
     bin_path = str(tmp_path / "res.bin")
     # two boxes at x=0 and x=10; points only inside the first
