@@ -26,6 +26,7 @@ from __future__ import annotations
 import dataclasses
 import os
 import pickle
+from collections import OrderedDict
 from typing import Sequence
 
 import numpy as np
@@ -35,6 +36,7 @@ from . import np_geometry as npg
 
 WAYMO_TYPE_NAMES = {1: "Car", 2: "Pedestrian", 3: "Sign", 4: "Cyclist"}
 POINT_RANGE = (-204.7, -204.7, -3.99, 204.7, 204.7, 7.99)
+_CACHE_MISS = object()   # occ-LRU sentinel (None is a cacheable result)
 
 
 @dataclasses.dataclass
@@ -96,12 +98,6 @@ def pose_transform_boxes(boxes: np.ndarray, src_poses: np.ndarray,
     new_yaw = np.arctan2(h[:, 0], h[:, 1])
     return np.concatenate(
         [ctr, boxes[:, 3:6], new_yaw[:, None]], 1).astype(np.float32)
-
-
-def pose_transform_points(xyz: np.ndarray, src_pose: np.ndarray,
-                          tgt_pose_inv: np.ndarray) -> np.ndarray:
-    mm = tgt_pose_inv @ src_pose
-    return xyz @ mm[:3, :3].T + mm[:3, 3]
 
 
 class TrackletDataset:
@@ -184,6 +180,9 @@ class TrackletDataset:
         # memoized per index (it was 69% of build_sample when recomputed
         # every epoch: per-frame rotated-IoU over every candidate)
         self._cand_cache: dict = {}
+        # parsed-occ LRU (see _load_occ_grid); ~10 KB/entry worst case
+        self._occ_cache: "OrderedDict" = OrderedDict()
+        self._occ_cache_max = 8192
 
         self.poses = {k: np.asarray(v, np.float64)
                       for k, v in _load_pkl(pose_file).items()}
@@ -245,31 +244,23 @@ class TrackletDataset:
                                  f"{trk_id}.npz")
                     if self.occ_anno_root else None)
         empty = (np.zeros((K, 3), np.float32), np.zeros((K,), np.int32), 0.0)
-        if path is None or not os.path.exists(path):
+        if path is None:
             return empty
-        try:
-            occ = np.load(path)["occ"]
-        except Exception:
+        parsed = self._load_occ_grid(path)
+        if parsed is None:
             return empty
+        shape, known_frac, pos_idx, neg_idx, vals = parsed
         if self.occ_compute_score:
-            base_score = float((occ != 0).sum()) / max(occ.size, 1)
-        if self.mirror_occ:
-            occ = mirror_occ_label(occ)
+            base_score = known_frac
         vs = self.cfg.ae_voxel_size
-        dims = np.asarray(occ.shape)
-        size = dims * vs
-        flat = occ.reshape(-1)
-        known = flat != 0
-        if not known.any():
-            return empty
-        idx = np.nonzero(known)[0]
-        vals = flat[idx]
-        pos_idx = idx[vals == 1]
-        neg_idx = idx[vals != 1]
+        size = np.asarray(shape) * vs
         if len(pos_idx) == 0 or len(neg_idx) == 0:
             # degenerate grid: "do not use this sample"
             # (occ_pinelines.py:265-273)
-            sel = rng.choice(idx, K, replace=len(idx) < K)
+            idx = np.concatenate([pos_idx, neg_idx])
+            j = rng.choice(len(idx), K, replace=len(idx) < K)
+            sel = idx[j]
+            labels = (vals[j] == 1).astype(np.int32)
             score = 0.0
         else:
             npos = K // 2
@@ -277,11 +268,52 @@ class TrackletDataset:
                 rng.choice(pos_idx, npos, replace=len(pos_idx) < npos),
                 rng.choice(neg_idx, K - npos,
                            replace=len(neg_idx) < (K - npos))])
+            labels = np.zeros((K,), np.int32)
+            labels[:npos] = 1
             score = base_score
-        coors = np.stack(np.unravel_index(sel, occ.shape), -1)
+        coors = np.stack(np.unravel_index(sel, shape), -1)
         centers = (coors + 0.5) * vs - size / 2
-        labels = (flat[sel] == 1).astype(np.int32)
         return centers.astype(np.float32), labels, score
+
+    def _load_occ_grid(self, path: str):
+        """Parse (and LRU-memoize) an occ npz into the compact arrays
+        sampling needs: ``(shape, known_frac, pos_idx, neg_idx, vals)``
+        where ``vals`` are the known-voxel labels aligned with
+        ``concat(pos_idx, neg_idx)``. The grid itself is never kept — per
+        track this is a few KB, so a warm cache removes the npz
+        open/decompress/nonzero from every epoch after the first."""
+        cached = self._occ_cache.get(path, _CACHE_MISS)
+        if cached is not _CACHE_MISS:
+            self._occ_cache.move_to_end(path)
+            return cached
+
+        def put(value):
+            self._occ_cache[path] = value
+            if len(self._occ_cache) > self._occ_cache_max:
+                self._occ_cache.popitem(last=False)
+            return value
+
+        if not os.path.exists(path):
+            return put(None)
+        try:
+            occ = np.load(path)["occ"]
+        except Exception:
+            return put(None)
+        # known fraction scores the PRE-mirror annotation
+        # (LoadAnnotationsOcc computes it at load time, before MirrorOccLabel)
+        known_frac = float((occ != 0).sum()) / max(occ.size, 1)
+        if self.mirror_occ:
+            occ = mirror_occ_label(occ)
+        flat = occ.reshape(-1)
+        idx = np.nonzero(flat != 0)[0].astype(np.int64)
+        if idx.size == 0:
+            return put(None)
+        vals = flat[idx].astype(np.int8)
+        pos_idx = idx[vals == 1]
+        neg_idx = idx[vals != 1]
+        vals_sorted = np.concatenate([np.ones(len(pos_idx), np.int8),
+                                      vals[vals != 1]])
+        return put((occ.shape, known_frac, pos_idx, neg_idx, vals_sorted))
 
     # ------------------------------------------------------------------
     def build_sample(self, index: int, rng: np.random.RandomState) -> dict:
@@ -342,20 +374,25 @@ class TrackletDataset:
         scores = rec.scores[frames]
         ts = [rec.ts[f] for f in frames]
         poses = np.stack([self.poses[t] for t in ts], 0)
-        raw_pts = [np.asarray(points_list[f], np.float32)[:, :5]
-                   for f in frames]
-
         Lf = len(frames)
 
         # --- pose transform into the middle frame (TrackletPoseTransform) ---
         center_pose = poses[Lf // 2]
         inv = np.linalg.inv(center_pose)
         boxes = pose_transform_boxes(boxes, poses, inv)
-        pts = []
-        for i, p in enumerate(raw_pts):
-            q = p.copy()
-            q[:, :3] = pose_transform_points(p[:, :3], poses[i], inv)
-            pts.append(q)
+        # per-frame ego->middle matrices, fused with the cap/pad-to-P copy
+        # so each frame's points move once, straight into the padded buffer
+        mm = inv[None] @ poses                                # [Lf, 4, 4]
+        points = np.zeros((Lf, P, 3 + cfg.num_point_feats), np.float32)
+        mask = np.zeros((Lf, P), bool)
+        for i, f in enumerate(frames):
+            p = np.asarray(points_list[f], np.float32)
+            if len(p) > P:
+                p = p[rng.permutation(len(p))[:P]]
+            n = len(p)
+            points[i, :n, :3] = p[:, :3] @ mm[i, :3, :3].T + mm[i, :3, 3]
+            points[i, :n, 3:5] = p[:, 3:5]
+            mask[i, :n] = True
 
         gt_boxes = np.zeros((Lf, 7), np.float32)
         gt_valid = np.zeros((Lf,), bool)
@@ -375,19 +412,11 @@ class TrackletDataset:
             boxes[:, 3:6] += rng.uniform(-1, 1, (Lf, 3)) * [0.2, 0.2, 0.1]
             boxes[:, 6] += rng.uniform(-0.2, 0.2, Lf)
 
-        # --- decoration (PointDecoration: yaw, size, score) + pad to P ---
-        points = np.zeros((Lf, P, 3 + cfg.num_point_feats), np.float32)
-        mask = np.zeros((Lf, P), bool)
-        for i, p in enumerate(pts):
-            if len(p) > P:
-                p = p[rng.permutation(len(p))[:P]]
-            n = len(p)
-            points[i, :n, :3] = p[:, :3]
-            points[i, :n, 3:5] = p[:, 3:5]
-            points[i, :n, 5] = boxes[i, 6] / np.pi
-            points[i, :n, 6:9] = boxes[i, 3:6] / 10.0
-            points[i, :n, 9] = scores[i]
-            mask[i, :n] = True
+        # --- decoration (PointDecoration: yaw, size, score) ---
+        points[:, :, 5] = boxes[:, 6:7] / np.pi
+        points[:, :, 6:9] = boxes[:, None, 3:6] / 10.0
+        points[:, :, 9] = scores[:, None]
+        points[:, :, 5:] *= mask[:, :, None]      # padded slots stay zero
 
         # --- global flips / rot / scale / trans (train only) ---
         if self.training and self.augment:
@@ -404,22 +433,29 @@ class TrackletDataset:
             ang = rng.uniform(-np.pi / 4, np.pi / 4)
             sc = rng.uniform(0.95, 1.05)
             tr = np.array([0, 0, rng.normal(0, 0.2)], np.float32)
-            points[..., :3] = npg.rotate_z(points[..., :3],
-                                           np.full(points.shape[:2], ang))
+            # scalar-angle rotate_z, in place (the generic helper builds
+            # full-size angle/cos/sin arrays — measured 15% of build time)
+            c, s = np.cos(ang), np.sin(ang)
+            x = points[..., 0].copy()
+            y = points[..., 1]
+            points[..., 0] = x * c + y * s
+            points[..., 1] = y * c - x * s
             for b in (boxes, gt_boxes):
-                b[:, :3] = npg.rotate_z(b[None, :, :3],
-                                        np.full((1, Lf), ang))[0]
+                bx = b[:, 0].copy()
+                by = b[:, 1]
+                b[:, 0] = bx * c + by * s
+                b[:, 1] = by * c - bx * s
                 b[:, 6] += ang
                 b[:, :6] *= sc
                 b[:, :3] += tr
             points[..., :3] *= sc
             points[..., :3] += tr
 
-        # --- range filter ---
-        lo = np.asarray(POINT_RANGE[:3])
-        hi = np.asarray(POINT_RANGE[3:])
-        in_range = ((points[..., :3] >= lo) & (points[..., :3] <= hi)).all(-1)
-        mask &= in_range
+        # --- range filter (per-axis compares; no [L, P, 3] temporaries) ---
+        lo, hi = POINT_RANGE[:3], POINT_RANGE[3:]
+        x, y, z = points[..., 0], points[..., 1], points[..., 2]
+        mask &= ((x >= lo[0]) & (x <= hi[0]) & (y >= lo[1]) & (y <= hi[1])
+                 & (z >= lo[2]) & (z <= hi[2]))
 
         # --- frame indices (random_shift_frame_inds) ---
         if self.training:
