@@ -185,3 +185,37 @@ def test_candidate_memoization_identical_samples(tmp_path):
     a2 = ds.build_sample(0, np.random.RandomState(7))   # hits the cache
     np.testing.assert_array_equal(a1["points"], a2["points"])
     np.testing.assert_array_equal(a1["occ_points"], a2["occ_points"])
+
+
+def test_occ_cache_transparent(tmp_path):
+    """sample_occ draws identically whether the parsed-grid LRU is cold
+    (npz parse) or warm (cache hit), incl. the compute_score variant whose
+    known-fraction must come from the pre-mirror annotation."""
+    from objectcentricocccompletion_tpu.data.loader import \
+        write_synthetic_dataset
+    from objectcentricocccompletion_tpu.data.tracklet_dataset import \
+        TrackletDataset
+
+    cfg = tiny_config()
+    paths = write_synthetic_dataset(str(tmp_path / "oc"), num_tracklets=1,
+                                    track_len=10, seed=9)
+    for kwargs in ({}, {"occ_compute_score": True}, {"mirror_occ": True}):
+        ds = TrackletDataset(cfg=cfg, min_tracklet_points=10, **kwargs,
+                             **paths)
+        gt = ds.candidates[0][ds.select_candidate(ds.records[0],
+                                                  ds.candidates[0])]
+        cold = ds.sample_occ(gt.segment_name, gt.id,
+                             np.random.RandomState(3))
+        assert len(ds._occ_cache) == 1
+        warm = ds.sample_occ(gt.segment_name, gt.id,
+                             np.random.RandomState(3))
+        np.testing.assert_array_equal(cold[0], warm[0])
+        np.testing.assert_array_equal(cold[1], warm[1])
+        assert cold[2] == warm[2] and cold[2] > 0.0
+    # missing-file result is cached too (the sentinel path)
+    ds._occ_cache.clear()
+    empty = ds.sample_occ("segment-0000", "no_such_track",
+                          np.random.RandomState(0))
+    assert empty[2] == 0.0 and len(ds._occ_cache) == 1
+    assert ds.sample_occ("segment-0000", "no_such_track",
+                         np.random.RandomState(0))[2] == 0.0
