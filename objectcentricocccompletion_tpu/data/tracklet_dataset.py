@@ -282,15 +282,21 @@ class TrackletDataset:
         ``concat(pos_idx, neg_idx)``. The grid itself is never kept — per
         track this is a few KB, so a warm cache removes the npz
         open/decompress/nonzero from every epoch after the first."""
-        cached = self._occ_cache.get(path, _CACHE_MISS)
+        # lazy init so hand-constructed datasets (tests, surgery tools)
+        # that bypass __init__ still work
+        cache = getattr(self, "_occ_cache", None)
+        if cache is None:
+            cache = self._occ_cache = OrderedDict()
+            self._occ_cache_max = 8192
+        cached = cache.get(path, _CACHE_MISS)
         if cached is not _CACHE_MISS:
-            self._occ_cache.move_to_end(path)
+            cache.move_to_end(path)
             return cached
 
         def put(value):
-            self._occ_cache[path] = value
-            if len(self._occ_cache) > self._occ_cache_max:
-                self._occ_cache.popitem(last=False)
+            cache[path] = value
+            if len(cache) > self._occ_cache_max:
+                cache.popitem(last=False)
             return value
 
         if not os.path.exists(path):
@@ -298,14 +304,17 @@ class TrackletDataset:
         try:
             occ = np.load(path)["occ"]
         except Exception:
-            return put(None)
+            # transient failure (partial write, I/O error): do NOT
+            # negatively cache — the next epoch retries the load
+            return None
         # known fraction scores the PRE-mirror annotation
         # (LoadAnnotationsOcc computes it at load time, before MirrorOccLabel)
         known_frac = float((occ != 0).sum()) / max(occ.size, 1)
         if self.mirror_occ:
             occ = mirror_occ_label(occ)
         flat = occ.reshape(-1)
-        idx = np.nonzero(flat != 0)[0].astype(np.int64)
+        # int32: grid flat size is far below 2^31, halves cache bytes
+        idx = np.nonzero(flat != 0)[0].astype(np.int32)
         if idx.size == 0:
             return put(None)
         vals = flat[idx].astype(np.int8)
