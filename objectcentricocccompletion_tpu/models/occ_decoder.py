@@ -35,7 +35,7 @@ class OccDecoder(nn.Module):
                  train: bool = False) -> jax.Array:
         """latent: [..., D]; queries: [..., K, 3] box-local query points.
         Returns occupancy logits [..., K]."""
-        latent = make_ln("ln")(latent)
+        latent = make_ln("ln", epsilon=1e-5)(latent)
         pos = nerf_position_encoding(queries, self.num_freqs)
 
         c0 = self.mlp_dims[0]

@@ -69,12 +69,12 @@ class TemporalEncoderLayer(nn.Module):
                                    dtype=self.dtype,
                                    name="self_attn")(qk, qk, src, mask,
                                                      train=train)
-        src = make_ln("norm1")(src + attn)
+        src = make_ln("norm1", epsilon=1e-5)(src + attn)
         ffn = nn.Dense(self.ffn_dim, name="linear1",
                        dtype=self.dtype)(src.astype(self.dtype))
         ffn = activation(self.act)(ffn)
         ffn = nn.Dense(src.shape[-1], name="linear2", dtype=self.dtype)(ffn)
-        return make_ln("norm2")(src + ffn)
+        return make_ln("norm2", epsilon=1e-5)(src + ffn)
 
 
 class TemporalEncoder(nn.Module):
