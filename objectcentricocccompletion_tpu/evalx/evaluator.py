@@ -183,14 +183,19 @@ class Evaluator:
             eval_occ: bool = True, eval_waymo: bool = True,
             gt_bin: str | None = None,
             save_occ_root: str | None = None,
-            batch_size: int = 1) -> dict:
+            batch_size: int = 1, eval_occ_baseline: bool = False) -> dict:
         """``batch_size > 1`` groups same-length-bucket tracklets into one
         device call (the reference evaluates strictly at batch 1,
         ``tracklet_roi_head_occ.simple_test``; bucketing makes batching
-        free here)."""
+        free here). ``eval_occ_baseline`` additionally scores the
+        point-aggregation baseline (``test_occ_baseline``,
+        ``tracklet_roi_head_occ.py:116-266``) through the same accumulator
+        so the summary shows model vs baseline side by side."""
         os.makedirs(out_dir, exist_ok=True)
         rng = np.random.RandomState(0)
         acc = occ_iou_mod.OccIoUAccumulator()
+        acc_base = occ_iou_mod.OccIoUAccumulator() if eval_occ_baseline \
+            else None
         out_tracklets = []
         n = len(self.ds) if max_tracklets is None else min(
             max_tracklets, len(self.ds))
@@ -254,7 +259,8 @@ class Evaluator:
                 boxes=ego_boxes, scores=scores, ts=ts))
 
             if eval_occ:
-                self._eval_occ_one(i, rec, padded, pred, T, acc)
+                self._eval_occ_one(i, rec, padded, pred, T, acc,
+                                   acc_base=acc_base)
             if save_occ_root is not None:
                 self.save_occ(save_occ_root, rec, dict(sample, rois=padded[
                     "rois"]), pred, T)
@@ -279,6 +285,8 @@ class Evaluator:
                             out.write(f.read())
             sync_hosts("eval_merge")
         metrics = acc.summary() if eval_occ else {}
+        if acc_base is not None:
+            metrics.update(acc_base.summary(prefix="occ_baseline"))
         if pcount > 1:
             # occ accumulator reduces across hosts (scalar psums)
             from ..parallel.multihost import process_allgather
@@ -400,7 +408,7 @@ class Evaluator:
             out.astype(np.float32).tofile(
                 os.path.join(d, f"{rec.type}_{rec.id}.bin"))
 
-    def _eval_occ_one(self, i, rec, padded, pred, T, acc):
+    def _eval_occ_one(self, i, rec, padded, pred, T, acc, acc_base=None):
         if self.ds.occ_anno_root is None:
             return
         ci = self.ds.select_candidate(rec, self.ds.candidates[i])
@@ -426,3 +434,11 @@ class Evaluator:
         valid = padded["gt_valid"].copy()
         valid[T:] = False
         acc.add_tracklet(np.asarray(inter), np.asarray(union), gt_vols, valid)
+        if acc_base is not None:
+            b_inter, b_union = occ_iou_mod.occ_baseline_tracklet(
+                np.asarray(padded["points"]),
+                np.asarray(padded["points_mask"]),
+                np.asarray(padded["rois"]), np.asarray(padded["gt_boxes"]),
+                valid, pts[np.asarray(msk)], lab[np.asarray(msk)],
+                msk[np.asarray(msk)], self.cfg.ae_voxel_size)
+            acc_base.add_tracklet(b_inter, b_union, gt_vols, valid)

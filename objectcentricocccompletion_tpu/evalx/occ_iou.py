@@ -96,21 +96,21 @@ class OccIoUAccumulator:
         self.box_ious.extend((inter / union).tolist())
         self.box_volumes.extend(gt_volumes.tolist())
 
-    def summary(self) -> dict:
+    def summary(self, prefix: str = "occ") -> dict:
         ious = np.asarray(self.box_ious)
         vols = np.asarray(self.box_volumes)
         out = {
-            "occ/overall_iou": (self.total_inter / self.total_union
-                                if self.total_union else 0.0),
-            "occ/miou_track": float(np.mean(self.track_ious))
+            f"{prefix}/overall_iou": (self.total_inter / self.total_union
+                                      if self.total_union else 0.0),
+            f"{prefix}/miou_track": float(np.mean(self.track_ious))
             if self.track_ious else 0.0,
-            "occ/miou_box": float(ious.mean()) if len(ious) else 0.0,
+            f"{prefix}/miou_box": float(ious.mean()) if len(ious) else 0.0,
         }
         for name, m in [("small", vols < 30),
                         ("medium", (vols >= 30) & (vols < 150)),
                         ("large", vols >= 150)]:
             if len(ious) and m.any():
-                out[f"occ/{name}_box_iou"] = float(ious[m].mean())
+                out[f"{prefix}/{name}_box_iou"] = float(ious[m].mean())
         return out
 
 
@@ -150,3 +150,75 @@ def load_full_occ_queries(occ_path: str, voxel_size: float,
     lab[:k] = (flat[idx] == 1).astype(np.int32)
     msk[:k] = True
     return pts, lab, msk
+
+
+# ------------------------------------------------------------------ baseline
+def _rot_z_np(pts: np.ndarray, yaw: float) -> np.ndarray:
+    c, s = np.cos(yaw), np.sin(yaw)
+    x = pts[..., 0] * c - pts[..., 1] * s
+    y = pts[..., 0] * s + pts[..., 1] * c
+    return np.stack([x, y, pts[..., 2]], -1)
+
+
+def occ_baseline_tracklet(points: np.ndarray, points_mask: np.ndarray,
+                          rois: np.ndarray, gt_boxes: np.ndarray,
+                          gt_valid: np.ndarray, occ_points: np.ndarray,
+                          occ_labels: np.ndarray, occ_mask: np.ndarray,
+                          voxel_size: float
+                          ) -> tuple[np.ndarray, np.ndarray]:
+    """Point-aggregation occupancy baseline — the paper's comparison
+    baseline, ``TrackletRoIHeadOCC.test_occ_baseline``
+    (``tracklet_roi_head_occ.py:116-266``).
+
+    For frame ``i``: every observed in-box point from frames ``0..i`` (each
+    in its OWN frame's box-local coords) marks its voxel of the
+    ``ceil(roi_size/voxel_size)`` grid occupied; the "prediction" for a GT
+    sample is that voxel's bit (0 when the sample falls outside the grid);
+    inter/union against GT-occupied over the known-sample mask. No pi/2
+    compensation here: this framework uses one box-local convention
+    everywhere (``core/boxes.py``), where the reference rotates the
+    extractor's pooled coords by pi/2 first (``:177-180``).
+
+    points: [L, P, C>=3] shared-frame points; rois/gt_boxes: [L, 7]
+    (bottom-center); occ_points: [K, 3] gravity-centered GT-box frame.
+    Returns (inter [L], union [L]) int64, zero where gt invalid.
+    """
+    L = rois.shape[0]
+    local_pts = []
+    for j in range(L):
+        p = points[j][points_mask[j].astype(bool)][:, :3]
+        ctr = rois[j, :3] + np.array([0, 0, rois[j, 5] / 2])
+        local = _rot_z_np(p - ctr, -rois[j, 6])
+        inb = (np.abs(local) <= rois[j, 3:6] / 2).all(-1)
+        local_pts.append(local[inb])
+
+    lab = (occ_labels == 1) & occ_mask.astype(bool)
+    inter = np.zeros(L, np.int64)
+    union = np.zeros(L, np.int64)
+    for i in range(L):
+        if not gt_valid[i]:
+            continue
+        agg = (np.concatenate(local_pts[:i + 1], 0) if local_pts[:i + 1]
+               else np.zeros((0, 3), np.float32))
+        size = rois[i, 3:6]
+        dims = np.maximum(np.ceil(size / voxel_size), 1).astype(int)
+        grid = np.zeros(dims, bool)
+        coors = np.floor((agg + size / 2) / voxel_size).astype(int)
+        ok = ((coors >= 0) & (coors < dims)).all(-1)
+        coors = coors[ok]
+        grid[coors[:, 0], coors[:, 1], coors[:, 2]] = True
+
+        # GT-box frame -> ego -> roi_i frame (gravity-centered both ends)
+        gt_ctr = gt_boxes[i, :3] + np.array([0, 0, gt_boxes[i, 5] / 2])
+        ego = _rot_z_np(occ_points, gt_boxes[i, 6]) + gt_ctr
+        q = _rot_z_np(ego - (rois[i, :3]
+                             + np.array([0, 0, rois[i, 5] / 2])),
+                      -rois[i, 6])
+        qc = np.floor((q + size / 2) / voxel_size).astype(int)
+        in_gt = ((qc >= 0) & (qc < dims)).all(-1)
+        pred = np.zeros(len(occ_points), bool)
+        pred[in_gt] = grid[qc[in_gt, 0], qc[in_gt, 1], qc[in_gt, 2]]
+
+        inter[i] = int((pred & lab).sum())
+        union[i] = int((pred | lab).sum())
+    return inter, union

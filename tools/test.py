@@ -41,6 +41,9 @@ def main():
     p.add_argument("--out-dir", default="work_dirs/eval")
     p.add_argument("--max-tracklets", type=int, default=None)
     p.add_argument("--no-occ", action="store_true")
+    p.add_argument("--occ-baseline", action="store_true",
+                   help="also score the point-aggregation occupancy "
+                        "baseline (test_occ_baseline) next to the model")
     p.add_argument("--tta", action="store_true",
                    help="double-flip test-time augmentation "
                         "(MultiScaleFlipAug3D eval mode)")
@@ -124,7 +127,8 @@ def main():
     ev = Evaluator(model, params, ds, cfg, tta=args.tta,
                    online_tuning_iters=args.tune_steps)
     metrics = ev.run(args.out_dir, max_tracklets=args.max_tracklets,
-                     eval_occ=not args.no_occ)
+                     eval_occ=not args.no_occ,
+                     eval_occ_baseline=args.occ_baseline)
     print(json.dumps(metrics, indent=2, default=float))
 
 
