@@ -246,9 +246,7 @@ def random_scene(seed, n_frames=4, n_gt_per_frame=8, fp_per_frame=4):
     return preds, gts
 
 
-@pytest.mark.parametrize("seed", [0, 1, 2])
-def test_binary_matches_numpy_referee(tmp_path, seed):
-    preds, gts = random_scene(seed)
+def _run_differential(tmp_path, preds, gts, min_checks=8):
     pred_objs = [WaymoObject(tuple(p["box"]), p["score"], p["type"],
                              p["id"], "seg-ref", p["ts"]) for p in preds]
     gt_objs = [WaymoObject(tuple(g["box"]), 1.0, g["type"], g["id"],
@@ -287,7 +285,145 @@ def test_binary_matches_numpy_referee(tmp_path, seed):
             checks.append((key, got[f"{key}/mAP"], ap,
                            got[f"{key}/mAPH"], aph))
 
-    assert len(checks) >= 8, sorted(got)
+    assert len(checks) >= min_checks, sorted(got)
     for key, bin_ap, ref_ap, bin_aph, ref_aph in checks:
         assert abs(bin_ap - ref_ap) < 1e-3, (key, bin_ap, ref_ap)
         assert abs(bin_aph - ref_aph) < 1e-3, (key, bin_aph, ref_aph)
+
+
+@pytest.mark.parametrize("seed", [0, 1, 2, 3, 4, 5])
+def test_binary_matches_numpy_referee(tmp_path, seed):
+    preds, gts = random_scene(seed)
+    _run_differential(tmp_path, preds, gts)
+
+
+# ------------------------------------------------- degenerate protocol corners
+def _vehicle_gt(rng, ts, k, npts=30, diff=1, d=None):
+    d = rng.uniform(5, 60) if d is None else d
+    ang = rng.uniform(0, 2 * np.pi)
+    box = [d * np.cos(ang), d * np.sin(ang), rng.uniform(-1, 0.5),
+           2.1 * rng.uniform(0.9, 1.1), 4.8 * rng.uniform(0.9, 1.1),
+           1.8 * rng.uniform(0.9, 1.1), rng.uniform(-np.pi, np.pi)]
+    return dict(box=box, type=1, ts=ts, num_points=npts, difficulty=diff,
+                id=f"gt{ts}_{k}")
+
+
+def degenerate_scene(kind, seed=0):
+    """Protocol corners that historically break AP implementations."""
+    rng = np.random.RandomState(100 + seed)
+    preds, gts = [], []
+    if kind == "score_ties":
+        # every prediction across all frames shares one of two scores:
+        # cutoff selection and tie ordering must agree
+        for fr in range(4):
+            ts = 1000 + fr
+            for k in range(6):
+                g = _vehicle_gt(rng, ts, k)
+                gts.append(g)
+                jit = np.asarray(g["box"]) + np.concatenate([
+                    rng.uniform(-0.2, 0.2, 3), rng.uniform(-0.05, 0.05, 3),
+                    rng.uniform(-0.2, 0.2, 1)])
+                preds.append(dict(box=list(jit), type=1, ts=ts,
+                                  score=0.5 if k % 2 else 0.75,
+                                  id=f"p{fr}_{k}"))
+    elif kind == "duplicates_one_gt":
+        # several near-identical predictions compete for a single GT:
+        # only the highest-scoring one may count as TP
+        for fr in range(3):
+            ts = 1000 + fr
+            g = _vehicle_gt(rng, ts, 0)
+            gts.append(g)
+            for k in range(5):
+                jit = np.asarray(g["box"]) + np.concatenate([
+                    rng.uniform(-0.1, 0.1, 3), np.zeros(3),
+                    rng.uniform(-0.05, 0.05, 1)])
+                preds.append(dict(box=list(jit), type=1, ts=ts,
+                                  score=float(0.9 - 0.1 * k),
+                                  id=f"p{fr}_{k}"))
+    elif kind == "contained_boxes":
+        # a small box fully inside a big GT: IoU below threshold -> FP
+        for fr in range(3):
+            ts = 1000 + fr
+            g = _vehicle_gt(rng, ts, 0)
+            gts.append(g)
+            small = list(g["box"])
+            small[3] *= 0.4
+            small[4] *= 0.4
+            preds.append(dict(box=small, type=1, ts=ts,
+                              score=float(rng.rand()), id=f"pi{fr}"))
+            jit = np.asarray(g["box"]) + np.concatenate([
+                rng.uniform(-0.2, 0.2, 3), np.zeros(3),
+                rng.uniform(-0.1, 0.1, 1)])
+            preds.append(dict(box=list(jit), type=1, ts=ts,
+                              score=float(rng.rand()), id=f"pm{fr}"))
+    elif kind == "all_l2":
+        # every GT is LEVEL_2 (few points or hard): the L1 curve is empty
+        for fr in range(4):
+            ts = 1000 + fr
+            for k in range(5):
+                g = _vehicle_gt(rng, ts, k,
+                                npts=int(rng.choice([1, 2, 3, 4])),
+                                diff=2)
+                gts.append(g)
+                if rng.rand() < 0.7:
+                    jit = np.asarray(g["box"]) + np.concatenate([
+                        rng.uniform(-0.2, 0.2, 3), np.zeros(3),
+                        rng.uniform(-0.1, 0.1, 1)])
+                    preds.append(dict(box=list(jit), type=1, ts=ts,
+                                      score=float(rng.rand()),
+                                      id=f"p{fr}_{k}"))
+    elif kind == "empty_predictions":
+        # GT present, zero predictions of that class: AP must be 0 and the
+        # binary must not crash on an empty curve
+        for fr in range(3):
+            ts = 1000 + fr
+            for k in range(4):
+                gts.append(_vehicle_gt(rng, ts, k))
+    elif kind == "many_unique_scores":
+        # >100 distinct scores forces the cutoff quantization path
+        for fr in range(4):
+            ts = 1000 + fr
+            for k in range(16):
+                g = _vehicle_gt(rng, ts, k)
+                gts.append(g)
+                jit = np.asarray(g["box"]) + np.concatenate([
+                    rng.uniform(-0.35, 0.35, 3), rng.uniform(-0.1, 0.1, 3),
+                    rng.uniform(-0.3, 0.3, 1)])
+                preds.append(dict(
+                    box=list(jit), type=1, ts=ts,
+                    score=float((fr * 16 + k) + rng.rand()) / 70.0,
+                    id=f"p{fr}_{k}"))
+            for k in range(10):
+                fp = _vehicle_gt(rng, ts, 100 + k)
+                preds.append(dict(box=fp["box"], type=1, ts=ts,
+                                  score=float(rng.rand()),
+                                  id=f"fp{fr}_{k}"))
+    elif kind == "one_box":
+        # minimal scene: one GT, one prediction
+        g = _vehicle_gt(rng, 1000, 0)
+        gts.append(g)
+        preds.append(dict(box=list(g["box"]), type=1, ts=1000, score=0.9,
+                          id="p0"))
+    elif kind == "heading_flips":
+        # predictions heading-flipped by pi: TPs with 0 heading accuracy
+        # separate mAP from mAPH
+        for fr in range(3):
+            ts = 1000 + fr
+            for k in range(6):
+                g = _vehicle_gt(rng, ts, k)
+                gts.append(g)
+                flip = list(g["box"])
+                flip[6] = _wrap(flip[6] + np.pi)
+                preds.append(dict(box=flip, type=1, ts=ts,
+                                  score=float(rng.rand()), id=f"p{fr}_{k}"))
+    else:
+        raise ValueError(kind)
+    return preds, gts
+
+
+@pytest.mark.parametrize("kind", [
+    "score_ties", "duplicates_one_gt", "contained_boxes", "all_l2",
+    "empty_predictions", "many_unique_scores", "one_box", "heading_flips"])
+def test_binary_matches_referee_degenerate(tmp_path, kind):
+    preds, gts = degenerate_scene(kind)
+    _run_differential(tmp_path, preds, gts, min_checks=2)
