@@ -140,7 +140,27 @@ def _gelu_tanh_bwd(res, g):
 
 _gelu_tanh_cvjp.defvjp(_gelu_tanh_fwd, _gelu_tanh_bwd)
 
+def _gelu_auto(x):
+    """Dtype-adaptive GELU.
+
+    fp32 (parity, weight transplants, reference-checkpoint eval): the exact
+    erf form matching torch nn.GELU(), with the barrier'd-CDF custom_vjp.
+
+    bf16 (production compute): the tanh approximation. Measured
+    justification: on identical bf16 inputs, BOTH forms deviate from
+    f32-exact-then-rounded by up to 1.6e-2 (bf16 arithmetic noise inside
+    either transcendental chain), dwarfing the 4.7e-4 erf-vs-tanh
+    analytic difference — the approximation adds no error class bf16
+    doesn't already impose, and the erf chain measured 2.65 ms/step
+    (202 -> 166 t/s) on the flagship bench where tanh fuses for free.
+    """
+    if x.dtype == jnp.float32 or x.dtype == jnp.float64:
+        return _gelu_exact(x)
+    return nn.gelu(x, approximate=True)
+
+
 _GELU_IMPLS = {
+    "auto": _gelu_auto,
     "exact": _gelu_exact,
     "exact_fd": _gelu_exact_fd,
     "exact_plain": lambda x: nn.gelu(x, approximate=False),
@@ -152,7 +172,7 @@ _GELU_IMPLS = {
 def activation(name: str):
     import os
     if name == "gelu":
-        return _GELU_IMPLS[os.environ.get("OCOCC_GELU", "exact")]
+        return _GELU_IMPLS[os.environ.get("OCOCC_GELU", "auto")]
     return {"relu": nn.relu, "leakyrelu": nn.leaky_relu}[name]
 
 

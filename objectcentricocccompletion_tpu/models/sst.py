@@ -139,19 +139,16 @@ class WindowMSALayer(nn.Module):
             from ..ops.pallas_attention import pallas_window_attention
             out = pallas_window_attention(q_f, k_f, v_f, mask, h)
         else:
-            q = q_f.reshape(q_f.shape[:-1] + (h, hd)) / jnp.sqrt(hd)
-            k = k_f.reshape(k_f.shape[:-1] + (h, hd))
-            v = v_f.reshape(v_f.shape[:-1] + (h, hd))
-            logits = jnp.einsum("wthd,wshd->whts", q, k)
-            neg = jnp.asarray(-1e9, logits.dtype)
-            logits = jnp.where(mask[:, None, None, :], logits, neg)
-            attn = jax.nn.softmax(logits, axis=-1)
-            out = jnp.einsum("whts,wshd->wthd", attn, v).reshape(
-                tokens.shape)
+            # same math as the inline einsum, but with the chunked
+            # flash-style backward (no [W, H, T, T] HBM materialization)
+            from ..ops.pallas_attention import window_attention_xla
+            out = window_attention_xla(q_f, k_f, v_f, mask, h)
         out = nn.Dense(d, name="out")(out)
         x = nn.LayerNorm(epsilon=LN_EPS, name="norm1")(tokens + out)
         f = nn.Dense(self.ffn_dim, name="ffn1")(x)
-        f = nn.Dense(d, name="ffn2")(nn.gelu(f))
+        # reference EncoderLayer default activation is relu
+        # (sst_basic_block_v2.py:80; the sst configs do not override it)
+        f = nn.Dense(d, name="ffn2")(nn.relu(f))
         x = nn.LayerNorm(epsilon=LN_EPS, name="norm2")(x + f)
         return jnp.where(mask[..., None], x, 0.0)
 

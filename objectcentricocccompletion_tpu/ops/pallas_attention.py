@@ -75,174 +75,82 @@ def pallas_window_attention(q: jax.Array, k: jax.Array, v: jax.Array,
     )(q, k, v, mask_f)
 
 
-def _attn_bwd_kernel_fullstore(q_ref, k_ref, v_ref, mask_ref, g_ref,
-                               dq_ref, dk_ref, dv_ref, *, num_heads: int):
-    """Variant D of the backward kernel: accumulate dq/dk/dv as full
-    ``[T, C]`` arrays in registers (``.at[:, sl].set`` on values) and
-    issue exactly ONE whole-block store per output — no strided partial
-    stores into the output refs. Written to probe the full-graph
-    miscompilation (see the note at the bottom of this file): the
-    earlier forms all stored per-head 16-lane slices directly into the
-    output window blocks."""
-    q = q_ref[0].astype(jnp.float32)
-    k = k_ref[0].astype(jnp.float32)
-    v = v_ref[0].astype(jnp.float32)
-    g = g_ref[0].astype(jnp.float32)
-    m = mask_ref[0].astype(jnp.float32)      # [T, 1]; 1 = valid key
-    t, c = q.shape
-    hd = c // num_heads
-    scale = 1.0 / (hd ** 0.5)
-    bias = (m.T - 1.0) * (-NEG)              # [1, T]: 0 valid / NEG invalid
-
-    dq_parts, dk_parts, dv_parts = [], [], []
-    for h in range(num_heads):
-        sl = slice(h * hd, (h + 1) * hd)
-        logits = jnp.dot(q[:, sl] * scale, k[:, sl].T,
-                         preferred_element_type=jnp.float32) + bias
-        lmax = jnp.max(logits, axis=-1, keepdims=True)
-        p = jnp.exp(logits - lmax)
-        denom = jnp.maximum(jnp.sum(p, axis=-1, keepdims=True), 1e-20)
-        prob = p / denom                                       # [T, T]
-        gh = g[:, sl]                                          # [T, hd]
-        dv = jnp.dot(prob.T, gh, preferred_element_type=jnp.float32)
-        dp = jnp.dot(gh, v[:, sl].T,
-                     preferred_element_type=jnp.float32)       # [T, T]
-        dsum = jnp.sum(dp * prob, axis=-1, keepdims=True)
-        ds = prob * (dp - dsum)
-        dq = jnp.dot(ds, k[:, sl],
-                     preferred_element_type=jnp.float32) * scale
-        dk = jnp.dot(ds.T, q[:, sl],
-                     preferred_element_type=jnp.float32) * scale
-        dq_parts.append(dq)
-        dk_parts.append(dk)
-        dv_parts.append(dv)
-    # lane-concatenate per-head grads into one [T, C] value per output so
-    # each output ref receives exactly ONE whole-block store (in-kernel
-    # .at[].set lowers to an unimplemented Mosaic scatter; concat does not)
-    dq_ref[0] = jnp.concatenate(dq_parts, axis=-1).astype(dq_ref.dtype)
-    dk_ref[0] = jnp.concatenate(dk_parts, axis=-1).astype(dk_ref.dtype)
-    dv_ref[0] = jnp.concatenate(dv_parts, axis=-1).astype(dv_ref.dtype)
-
-
-def pallas_window_attention_bwd_fullstore(q, k, v, mask, g, num_heads: int,
-                                          interpret: bool = False,
-                                          guard_windows: int = 0):
-    """Backward via the full-store kernel; ``guard_windows`` appends that
-    many zero windows to every operand and slices them back off — if the
-    miscompiled write lands within a few windows past the output end, the
-    guard absorbs it inside our own buffers."""
-    if guard_windows:
-        pad = [(0, guard_windows)] + [(0, 0)] * (q.ndim - 1)
-        q = jnp.pad(q, pad)
-        k = jnp.pad(k, pad)
-        v = jnp.pad(v, pad)
-        g = jnp.pad(g, pad)
-        mask = jnp.pad(mask, [(0, guard_windows), (0, 0)])
-    W, T, C = q.shape
-    mask_f = mask[..., None].astype(q.dtype)      # [W, T, 1] like forward
-    kern = functools.partial(_attn_bwd_kernel_fullstore,
-                             num_heads=num_heads)
-    spec = pl.BlockSpec((1, T, C), lambda w: (w, 0, 0))
-    out = jax.ShapeDtypeStruct((W, T, C), q.dtype)
-    dq, dk, dv = pl.pallas_call(
-        kern,
-        grid=(W,),
-        in_specs=[spec, spec, spec,
-                  pl.BlockSpec((1, T, 1), lambda w: (w, 0, 0)), spec],
-        out_specs=[spec, spec, spec],
-        out_shape=[out, out, out],
-        interpret=interpret,
-    )(q, k, v, mask_f, g)
-    if guard_windows:
-        n = W - guard_windows
-        dq, dk, dv = dq[:n], dk[:n], dv[:n]
-    return dq, dk, dv
-
-
-def _attn_bwd_kernel(q_ref, k_ref, v_ref, mask_ref, g_ref,
-                     dqkv_ref, *, num_heads: int):
-    """Backward of one window, fully in VMEM (flash-attention-style
-    recompute): the XLA einsum VJP this replaces materializes several
-    ``[W, H, T, T]`` tensors in HBM (recomputed logits, probabilities,
-    their grads) and was 43% of the full-scale SST step; here the only
-    HBM traffic is q/k/v/g in and dq/dk/dv out."""
-    q = q_ref[0].astype(jnp.float32)
-    k = k_ref[0].astype(jnp.float32)
-    v = v_ref[0].astype(jnp.float32)
-    g = g_ref[0].astype(jnp.float32)
-    m = mask_ref[0].astype(jnp.float32)      # [1, T]; 1 = valid key
-    t, c = q.shape
-    hd = c // num_heads
-    scale = 1.0 / (hd ** 0.5)
-    bias = (m - 1.0) * (-NEG)                # 0 valid / NEG invalid
-
-    for h in range(num_heads):
-        sl = slice(h * hd, (h + 1) * hd)
-        logits = jnp.dot(q[:, sl] * scale, k[:, sl].T,
-                         preferred_element_type=jnp.float32) + bias
-        lmax = jnp.max(logits, axis=-1, keepdims=True)
-        p = jnp.exp(logits - lmax)
-        denom = jnp.maximum(jnp.sum(p, axis=-1, keepdims=True), 1e-20)
-        prob = p / denom                                       # [T, T]
-        gh = g[:, sl]                                          # [T, hd]
-        dv = jnp.dot(prob.T, gh, preferred_element_type=jnp.float32)
-        dp = jnp.dot(gh, v[:, sl].T,
-                     preferred_element_type=jnp.float32)       # [T, T]
-        dsum = jnp.sum(dp * prob, axis=-1, keepdims=True)
-        ds = prob * (dp - dsum)
-        dq = jnp.dot(ds, k[:, sl],
-                     preferred_element_type=jnp.float32) * scale
-        dk = jnp.dot(ds.T, q[:, sl],
-                     preferred_element_type=jnp.float32) * scale
-        dqkv_ref[0, 0, :, sl] = dq.astype(dqkv_ref.dtype)
-        dqkv_ref[1, 0, :, sl] = dk.astype(dqkv_ref.dtype)
-        dqkv_ref[2, 0, :, sl] = dv.astype(dqkv_ref.dtype)
-
-
-def pallas_window_attention_bwd(q, k, v, mask, g, num_heads: int,
-                                interpret: bool = False):
-    """dq/dk/dv of :func:`pallas_window_attention` (one program per
-    window). Exactly the VJP of the forward kernel's math: the softmax
-    uses the same key-mask bias and clamped denominator, so masked keys
-    receive zero grad and empty windows propagate nothing."""
-    W, T, C = q.shape
-    mask_f = mask[:, None, :].astype(q.dtype)     # [W, 1, T] lane-major
-    kern = functools.partial(_attn_bwd_kernel, num_heads=num_heads)
-    spec = pl.BlockSpec((1, T, C), lambda w: (w, 0, 0))
-    # ONE stacked output [3, W, T, C] rather than three separate outputs:
-    # the single-output form mirrors the long-validated forward kernel
-    dqkv = pl.pallas_call(
-        kern,
-        grid=(W,),
-        in_specs=[spec, spec, spec,
-                  pl.BlockSpec((1, 1, T), lambda w: (w, 0, 0)), spec],
-        out_specs=pl.BlockSpec((3, 1, T, C), lambda w: (0, w, 0, 0)),
-        out_shape=jax.ShapeDtypeStruct((3, W, T, C), q.dtype),
-        interpret=interpret,
-    )(q, k, v, mask_f, g)
-    return dqkv[0], dqkv[1], dqkv[2]
-
-
 import os
 
-# The fused backward kernel is numerically verified standalone ON CHIP at
-# the production window shapes (grads match the einsum VJP to 3e-5, loss
-# under value_and_grad matches), but enabling it inside the FULL SST
-# training graph deterministically corrupts an UNRELATED forward value:
-# loss_cls jumps 0.0012 -> 313.93 while loss_bbox / loss_dir /
-# num_pos_anchors (same backbone, same head trunk) stay bit-identical —
-# the signature of an out-of-bounds write into whichever HBM buffer the
-# deterministic allocator places next to the kernel's outputs. Reproduced
-# across three kernel forms (3 outputs; one stacked [3, W, T, C] output;
-# lane-major mask block); isolated two-level repros at the same shapes
-# are all correct. Filed as a backend (Mosaic/axon) miscompilation;
-# default the backward to the recompute einsum VJP until the toolchain
-# moves. OCOCC_PALLAS_ATTN_BWD selects a kernel form at trace time:
-#   1          the original stacked-output kernel
-#   fullstore  whole-block stores only (no strided per-head output slices)
-#   guard      fullstore + 8 zero guard windows appended to every buffer
+# A fused Pallas BACKWARD kernel (flash-style, in-VMEM recompute) was
+# built in round 3 and is numerically verified standalone ON CHIP at the
+# production window shapes -- but enabling it inside the FULL SST training
+# graph deterministically corrupts an unrelated forward value (loss_cls
+# 0.0012 -> 314.31 while loss_bbox / loss_dir / num_pos_anchors, fed by
+# the same trunk, stay bit-identical). Round 4 re-probed two mitigation
+# forms in the full graph -- whole-block stores only, and 8 zero guard
+# windows appended to every buffer -- and BOTH corrupt with bit-IDENTICAL
+# values (benchmarks/repro_attn_bwd.py; BENCH_NOTES round 4), i.e. the
+# corruption is invariant to the kernel's store pattern AND to the output
+# buffer sizes: a backend (Mosaic/axon) miscompilation, not a plain OOB
+# store. The kernels now live ONLY in benchmarks/repro_attn_bwd.py (kept
+# as the toolchain repro); the production backward is the chunked XLA
+# recompute below. OCOCC_PALLAS_ATTN_BWD selects the backward at trace
+# time: "chunked" (default) or "0" (plain einsum VJP); the repro script
+# registers its kernel forms into EXTRA_BWD_IMPLS.
+EXTRA_BWD_IMPLS: dict = {}
+
+
+CHUNK_BYTES = 256 << 20   # target live [chunk, H, T, T] footprint
+
+
+def xla_chunked_window_attention_bwd(q, k, v, mask, g, num_heads: int,
+                                     chunk: int | None = None):
+    """Flash-style chunked backward at the XLA level (no Pallas).
+
+    The einsum VJP materializes the full ``[W, H, T, T]`` probability and
+    grad-logit tensors in HBM (43% of the SST step at production shapes —
+    BENCH_NOTES). Recomputing each window block's attention in a
+    STATICALLY UNROLLED chunk loop bounds the live set to
+    ``[chunk, H, T, T]`` while keeping every product on the MXU; straight-
+    line code (not ``lax.map``) so XLA reuses the chunk buffers — a
+    while-loop variant measured a 5.6 GB fragmentation OOM at SST
+    production shapes. Gradients are the same math as the einsum VJP
+    (softmax recompute instead of saved probabilities). When the full
+    tensor is already small (< CHUNK_BYTES), a single chunk means zero
+    overhead vs the plain VJP.
+    """
+    W, T, C = q.shape
+    hd = C // num_heads
+    scale = 1.0 / hd ** 0.5
+    if chunk is None:
+        per_win = num_heads * T * T * 4
+        chunk = max(min(W, CHUNK_BYTES // max(per_win, 1)), 1)
+
+    def block(qb, kb, vb, mb, gb):
+        n = qb.shape[0]
+        qh = qb.reshape(n, T, num_heads, hd) * scale
+        kh = kb.reshape(n, T, num_heads, hd)
+        vh = vb.reshape(n, T, num_heads, hd)
+        gh = gb.reshape(n, T, num_heads, hd)
+        logits = jnp.einsum("wthd,wshd->whts", qh, kh)
+        logits = jnp.where(mb[:, None, None, :], logits, NEG)
+        p = jax.nn.softmax(logits, axis=-1)
+        dv = jnp.einsum("whts,wthd->wshd", p, gh)
+        dp = jnp.einsum("wthd,wshd->whts", gh, vh)
+        delta = jnp.sum(p * dp, axis=-1, keepdims=True)
+        ds = p * (dp - delta)
+        dq = jnp.einsum("whts,wshd->wthd", ds, kh) * scale
+        dk = jnp.einsum("whts,wthd->wshd", ds, qh)
+        return (dq.reshape(n, T, C), dk.reshape(n, T, C),
+                dv.reshape(n, T, C))
+
+    parts = [block(q[b:b + chunk], k[b:b + chunk], v[b:b + chunk],
+                   mask[b:b + chunk], g[b:b + chunk])
+             for b in range(0, W, chunk)]
+    if len(parts) == 1:
+        return parts[0]
+    return tuple(jnp.concatenate([p[i] for p in parts], 0)
+                 for i in range(3))
+
+
 def _use_pallas_bwd() -> str:
-    return os.environ.get("OCOCC_PALLAS_ATTN_BWD", "0")
+    return os.environ.get("OCOCC_PALLAS_ATTN_BWD", "chunked")
 
 
 def _pwa_fwd(q, k, v, mask, num_heads, interpret):
@@ -253,14 +161,13 @@ def _pwa_fwd(q, k, v, mask, num_heads, interpret):
 def _pwa_bwd(num_heads, interpret, res, g):
     q, k, v, mask = res
     mode = _use_pallas_bwd()
-    if mode == "1":
-        dq, dk, dv = pallas_window_attention_bwd(q, k, v, mask, g,
-                                                 num_heads, interpret)
+    if mode in EXTRA_BWD_IMPLS:   # repro-registered kernel forms
+        dq, dk, dv = EXTRA_BWD_IMPLS[mode](q, k, v, mask, g, num_heads,
+                                           interpret)
         return dq, dk, dv, None
-    if mode in ("fullstore", "guard"):
-        dq, dk, dv = pallas_window_attention_bwd_fullstore(
-            q, k, v, mask, g, num_heads, interpret,
-            guard_windows=8 if mode == "guard" else 0)
+    if mode == "chunked":
+        dq, dk, dv = xla_chunked_window_attention_bwd(q, k, v, mask, g,
+                                                      num_heads)
         return dq, dk, dv, None
     _, vjp = jax.vjp(
         lambda q_, k_, v_: jnp_window_attention(q_, k_, v_, mask,
@@ -285,3 +192,25 @@ def jnp_window_attention(q: jax.Array, k: jax.Array, v: jax.Array,
     p = jax.nn.softmax(logits, axis=-1)
     out = jnp.einsum("whts,wshd->wthd", p, vh)
     return out.reshape(W, T, C)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4,))
+def window_attention_xla(q, k, v, mask, num_heads: int):
+    """Pure-XLA window attention with the chunked flash-style backward —
+    the non-Pallas model path (CPU tests, non-TPU backends, and the SST
+    backward on TPU when the Pallas forward is disabled)."""
+    return jnp_window_attention(q, k, v, mask, num_heads)
+
+
+def _wa_fwd(q, k, v, mask, num_heads):
+    return jnp_window_attention(q, k, v, mask, num_heads), (q, k, v, mask)
+
+
+def _wa_bwd(num_heads, res, g):
+    q, k, v, mask = res
+    dq, dk, dv = xla_chunked_window_attention_bwd(q, k, v, mask, g,
+                                                  num_heads)
+    return dq, dk, dv, None
+
+
+window_attention_xla.defvjp(_wa_fwd, _wa_bwd)

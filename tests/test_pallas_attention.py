@@ -88,38 +88,6 @@ def test_pallas_attention_gradients():
                                    rtol=1e-4)
 
 
-@pytest.mark.parametrize("W,T,C,H", [(4, 16, 32, 4), (2, 8, 64, 8)])
-def test_pallas_bwd_matches_jnp_vjp(W, T, C, H):
-    """The fused backward kernel equals the einsum VJP (grads wrt q/k/v),
-    including masked keys getting exactly zero grad."""
-    rng = np.random.RandomState(1)
-    q = jnp.asarray(rng.randn(W, T, C).astype(np.float32))
-    k = jnp.asarray(rng.randn(W, T, C).astype(np.float32))
-    v = jnp.asarray(rng.randn(W, T, C).astype(np.float32))
-    g = jnp.asarray(rng.randn(W, T, C).astype(np.float32))
-    mask = jnp.asarray(rng.rand(W, T) > 0.3)
-    mask = mask.at[:, 0].set(True)
-
-    from objectcentricocccompletion_tpu.ops.pallas_attention import \
-        pallas_window_attention_bwd
-    _, vjp = jax.vjp(
-        lambda q_, k_, v_: jnp_window_attention(q_, k_, v_, mask, H),
-        q, k, v)
-    rq, rk, rv = vjp(g)
-    dq, dk, dv = pallas_window_attention_bwd(q, k, v, mask, g, H,
-                                             interpret=True)
-    np.testing.assert_allclose(np.asarray(dq), np.asarray(rq),
-                               atol=3e-5, rtol=3e-5)
-    np.testing.assert_allclose(np.asarray(dk), np.asarray(rk),
-                               atol=3e-5, rtol=3e-5)
-    np.testing.assert_allclose(np.asarray(dv), np.asarray(rv),
-                               atol=3e-5, rtol=3e-5)
-    # masked keys receive exactly zero dk/dv
-    mk = ~np.asarray(mask)
-    assert np.abs(np.asarray(dk)[mk]).max() == 0.0
-    assert np.abs(np.asarray(dv)[mk]).max() == 0.0
-
-
 def test_pallas_custom_vjp_end_to_end():
     """jax.grad through pallas_window_attention uses the fused backward."""
     rng = np.random.RandomState(2)
@@ -143,28 +111,49 @@ def test_pallas_custom_vjp_end_to_end():
                                    atol=3e-5, rtol=3e-5)
 
 
-@pytest.mark.parametrize("guard", [0, 8])
-def test_pallas_bwd_fullstore_matches_jnp_vjp(guard):
-    """Variant D of the backward kernel (whole-block stores, optional zero
-    guard windows) equals the einsum VJP."""
-    rng = np.random.RandomState(3)
-    W, T, C, H = 4, 16, 32, 4
+def test_chunked_bwd_matches_einsum_vjp():
+    """The chunked flash-style backward (statically unrolled window-block
+    loop) must reproduce the plain einsum VJP's gradients exactly (same
+    math, recompute instead of saved probabilities)."""
+    from objectcentricocccompletion_tpu.ops.pallas_attention import (
+        window_attention_xla)
+    rng = np.random.RandomState(0)
+    W, T, C, H = 37, 24, 32, 4    # W deliberately not a chunk multiple
     q = jnp.asarray(rng.randn(W, T, C).astype(np.float32))
     k = jnp.asarray(rng.randn(W, T, C).astype(np.float32))
     v = jnp.asarray(rng.randn(W, T, C).astype(np.float32))
+    mask = jnp.asarray(rng.rand(W, T) > 0.3)
+    mask = mask.at[:, 0].set(True)     # no fully-masked window
     g = jnp.asarray(rng.randn(W, T, C).astype(np.float32))
-    mask = jnp.asarray(rng.rand(W, T) > 0.3).at[:, 0].set(True)
 
-    from objectcentricocccompletion_tpu.ops.pallas_attention import \
-        pallas_window_attention_bwd_fullstore
+    def ref_loss(q, k, v):
+        return jnp.vdot(jnp_window_attention(q, k, v, mask, H), g)
+
+    def got_loss(q, k, v):
+        return jnp.vdot(window_attention_xla(q, k, v, mask, H), g)
+
+    ref = jax.grad(ref_loss, argnums=(0, 1, 2))(q, k, v)
+    got = jax.grad(got_loss, argnums=(0, 1, 2))(q, k, v)
+    for r, o in zip(ref, got):
+        np.testing.assert_allclose(np.asarray(o), np.asarray(r),
+                                   atol=1e-5, rtol=1e-5)
+
+
+def test_chunked_bwd_small_chunk_matches():
+    """Explicit multi-chunk path (chunk smaller than W) equals the plain
+    VJP — exercises the concatenate tail."""
+    from objectcentricocccompletion_tpu.ops.pallas_attention import (
+        xla_chunked_window_attention_bwd)
+    rng = np.random.RandomState(5)
+    W, T, C, H = 11, 8, 16, 2
+    q, k, v, g = (jnp.asarray(rng.randn(W, T, C).astype(np.float32))
+                  for _ in range(4))
+    mask = jnp.asarray(rng.rand(W, T) > 0.4).at[:, 0].set(True)
     _, vjp = jax.vjp(
         lambda q_, k_, v_: jnp_window_attention(q_, k_, v_, mask, H),
         q, k, v)
     ref = vjp(g)
-    out = pallas_window_attention_bwd_fullstore(q, k, v, mask, g, H,
-                                                interpret=True,
-                                                guard_windows=guard)
-    for a, b in zip(out, ref):
-        assert a.shape == (W, T, C)
-        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
-                                   atol=3e-5, rtol=3e-5)
+    got = xla_chunked_window_attention_bwd(q, k, v, mask, g, H, chunk=3)
+    for r, o in zip(ref, got):
+        np.testing.assert_allclose(np.asarray(o), np.asarray(r),
+                                   atol=1e-5, rtol=1e-5)
