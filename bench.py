@@ -57,14 +57,23 @@ def main():
     batch = synthetic_batch(cfg, batch_size=global_batch, seed=0)
     # parameter init is tiny compute — run it on CPU to skip a multi-minute
     # accelerator compile of the init graph
+    # BENCH_FLAT=1 switches to the flat two-vector optimizer — identical
+    # math, measured LOSER (201 -> 129 t/s: per-param retiling copies at
+    # the flat<->tree boundary; BENCH_NOTES round 4)
+    flat = os.environ.get("BENCH_FLAT", "0") == "1"
     cpu = jax.devices("cpu")[0]
     with jax.default_device(cpu):
         model, state, tx, _ = create_train_state(
-            cfg, jax.random.PRNGKey(0), batch, total_steps=1000)
+            cfg, jax.random.PRNGKey(0), batch, total_steps=1000,
+            flat_opt=flat)
     rng = jax.random.PRNGKey(1)
 
     state = jax.device_put(state)
-    step = make_train_step(model, tx, mesh)
+    # BENCH_DONATE=1 donates the staged batch buffers (measured flat;
+    # XLA reports them unusable for aliasing — BENCH_NOTES round 4)
+    step = make_train_step(
+        model, tx, mesh, flat_opt=flat,
+        donate_batch=os.environ.get("BENCH_DONATE", "0") == "1")
 
     # Measure the production feeding pattern (what training actually does):
     # a fresh host batch is staged to device every step, overlapping the

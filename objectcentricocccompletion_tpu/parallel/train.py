@@ -20,7 +20,53 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from ..configs.ococcnet_config import OcOccNetConfig
 from ..models.ococcnet import OcOccNetWithLoss, TrackletBatch
-from ..training.optim import make_optimizer
+from ..training.optim import (_no_decay_mask, make_flat_optimizer,
+                              make_optimizer)
+
+
+class FlatOptSpec(NamedTuple):
+    """Layout of the parameter tree inside the two concatenated flat
+    vectors the flat optimizer updates (``{"decay", "nodecay"}`` — the
+    weight-decay split of :func:`~..training.optim._no_decay_mask`).
+    ``entries`` holds, per tree leaf in flatten order:
+    (group key, offset, size, shape, dtype)."""
+    treedef: Any
+    entries: tuple
+    sizes: dict
+
+
+def make_flat_opt_spec(params) -> FlatOptSpec:
+    """Derivable from (traced) parameter shapes alone, so the step builds
+    it at trace time — no extra runtime state to thread or checkpoint."""
+    mask = _no_decay_mask(params)
+    leaves, treedef = jax.tree_util.tree_flatten(params)
+    decay_leaves = jax.tree_util.tree_leaves(mask)
+    offs = {"decay": 0, "nodecay": 0}
+    entries = []
+    for leaf, dec in zip(leaves, decay_leaves):
+        g = "decay" if dec else "nodecay"
+        size = int(np.prod(leaf.shape)) if leaf.shape else 1
+        entries.append((g, offs[g], size, leaf.shape, leaf.dtype))
+        offs[g] += size
+    return FlatOptSpec(treedef, tuple(entries), dict(offs))
+
+
+def flatten_by_spec(spec: FlatOptSpec, tree):
+    leaves = spec.treedef.flatten_up_to(tree)
+    groups = {"decay": [], "nodecay": []}
+    dtypes = {"decay": None, "nodecay": None}
+    for (g, _, _, _, dt), leaf in zip(spec.entries, leaves):
+        groups[g].append(jnp.ravel(leaf))
+        dtypes[g] = dt
+    return {g: (jnp.concatenate(parts) if parts
+                else jnp.zeros((0,), dtypes[g] or jnp.float32))
+            for g, parts in groups.items()}
+
+
+def unflatten_by_spec(spec: FlatOptSpec, flat):
+    leaves = [flat[g][off:off + size].reshape(shape).astype(dt)
+              for g, off, size, shape, dt in spec.entries]
+    return jax.tree_util.tree_unflatten(spec.treedef, leaves)
 
 
 class TrainState(NamedTuple):
@@ -145,7 +191,8 @@ def shrink_batch(batch: TrackletBatch, max_b: int = 1, max_l: int = 4,
 
 
 def create_train_state(cfg: OcOccNetConfig, rng: jax.Array,
-                       sample_batch: TrackletBatch, total_steps: int):
+                       sample_batch: TrackletBatch, total_steps: int,
+                       flat_opt: bool = False):
     apply_ln_dtype(cfg)
     model = OcOccNetWithLoss(cfg)
     variables = model.init({"params": rng}, shrink_batch(sample_batch),
@@ -154,11 +201,23 @@ def create_train_state(cfg: OcOccNetConfig, rng: jax.Array,
     # fixed_ae: freeze the occupancy auto-encoder subtree (the reference's
     # OnlyGrad optimizer constructor used with a pretrained AE)
     frozen = ("ae_encoder",) if getattr(cfg, "fixed_ae", False) else ()
-    tx, schedule = make_optimizer(
-        cfg.base_lr, total_steps, weight_decay=cfg.weight_decay,
-        grad_clip=cfg.grad_clip_norm, peak_ratio=cfg.lr_mult,
-        frozen_prefixes=frozen)
-    state = TrainState(jnp.zeros((), jnp.int32), params, tx.init(params))
+    if flat_opt and not frozen:
+        # optimizer over two concatenated flat vectors (see
+        # make_flat_optimizer): identical math, ~4x fewer HBM-bound
+        # optimizer milliseconds per step. Pair with
+        # make_train_step(..., flat_opt=True).
+        tx, schedule = make_flat_optimizer(
+            cfg.base_lr, total_steps, weight_decay=cfg.weight_decay,
+            grad_clip=cfg.grad_clip_norm, peak_ratio=cfg.lr_mult)
+        spec = make_flat_opt_spec(params)
+        opt_state = tx.init(flatten_by_spec(spec, params))
+    else:
+        tx, schedule = make_optimizer(
+            cfg.base_lr, total_steps, weight_decay=cfg.weight_decay,
+            grad_clip=cfg.grad_clip_norm, peak_ratio=cfg.lr_mult,
+            frozen_prefixes=frozen)
+        opt_state = tx.init(params)
+    state = TrainState(jnp.zeros((), jnp.int32), params, opt_state)
     return model, state, tx, schedule
 
 
@@ -166,7 +225,9 @@ def make_train_step(model: OcOccNetWithLoss, tx, mesh: Mesh,
                     state: TrainState | None = None,
                     tp_min_dim: int = 1024, fsdp: bool = False,
                     fsdp_min_size: int = 1 << 15,
-                    sequence_parallel: bool = False):
+                    sequence_parallel: bool = False,
+                    flat_opt: bool = False,
+                    donate_batch: bool = False):
     """Returns a jitted (state, batch, rng) -> (state, metrics) step: batch
     sharded over 'data'; params replicated on a 1D mesh, tensor-parallel
     over 'model' on a 2D mesh, or FSDP-sharded over 'data' with
@@ -177,6 +238,11 @@ def make_train_step(model: OcOccNetWithLoss, tx, mesh: Mesh,
     long tracklets and big point budgets."""
     if sequence_parallel:
         assert "model" in mesh.axis_names, "SP needs a 'model' mesh axis"
+    if flat_opt:
+        # the flat vectors are replicated; sharded-state layouts (TP/FSDP)
+        # need per-leaf moments — use the tree optimizer there
+        assert not fsdp and "model" not in mesh.axis_names, \
+            "flat_opt supports the replicated-params DP path only"
     bsh = batch_sharding(mesh)
     rsh = replicated(mesh)
     if state is not None and fsdp:
@@ -210,10 +276,23 @@ def make_train_step(model: OcOccNetWithLoss, tx, mesh: Mesh,
         finally:
             if sequence_parallel:
                 _sp.clear_sequence_parallel()
-        updates, opt_state = tx.update(grads, state.opt_state, state.params)
-        params = optax.apply_updates(state.params, updates)
+        if flat_opt:
+            # spec is a function of traced leaf shapes only — free here
+            spec = make_flat_opt_spec(state.params)
+            flat_g = flatten_by_spec(spec, grads)
+            updates, opt_state = tx.update(flat_g, state.opt_state,
+                                           flatten_by_spec(spec,
+                                                           state.params))
+            params = optax.apply_updates(state.params,
+                                         unflatten_by_spec(spec, updates))
+            grad_norm = optax.global_norm(flat_g)
+        else:
+            updates, opt_state = tx.update(grads, state.opt_state,
+                                           state.params)
+            params = optax.apply_updates(state.params, updates)
+            grad_norm = optax.global_norm(grads)
         new_state = TrainState(state.step + 1, params, opt_state)
-        aux = dict(aux, grad_norm=optax.global_norm(grads))
+        aux = dict(aux, grad_norm=grad_norm)
         return new_state, aux
 
     return jax.jit(
@@ -221,7 +300,10 @@ def make_train_step(model: OcOccNetWithLoss, tx, mesh: Mesh,
         in_shardings=(state_sh, jax.tree_util.tree_map(lambda _: bsh,
                                                        _batch_struct()), rsh),
         out_shardings=(state_sh, rsh),
-        donate_argnums=(0,),
+        # donate_batch lets XLA reuse the staged batch buffers as scratch
+        # (callers must re-stage a fresh batch every step, as the trainer
+        # and bench do)
+        donate_argnums=(0, 1) if donate_batch else (0,),
     )
 
 

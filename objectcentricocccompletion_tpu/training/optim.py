@@ -49,6 +49,32 @@ def _no_decay_mask(params):
     return jax.tree_util.tree_map_with_path(mask_fn, params)
 
 
+def make_flat_optimizer(base_lr: float, total_steps: int,
+                        weight_decay: float = 0.05, grad_clip: float = 10.0,
+                        peak_ratio: float = 100.0):
+    """The same AdamW recipe as :func:`make_optimizer`, but operating on a
+    two-leaf pytree ``{"decay": vec, "nodecay": vec}`` of CONCATENATED flat
+    parameters (see ``parallel.train.make_flat_opt_spec``).
+
+    Why: per-leaf optax updates lower to ~90 small fused kernels per step
+    whose launch/latency overhead holds the optimizer at ~790 GB/s while
+    plain copies on the same chip stream at ~3 TB/s (profile in
+    BENCH_NOTES round 4). Two big contiguous leaves turn the update into a
+    handful of full-bandwidth kernels. The math is bit-for-bit optax
+    (same transforms; the weight-decay mask becomes per-group); only the
+    global-norm reduction order changes (flat sum vs per-leaf partial
+    sums). Frozen subtrees (``fixed_ae``) are not supported — use the
+    tree optimizer there."""
+    schedule = cyclic_cosine_schedule(base_lr, total_steps,
+                                      peak_ratio=peak_ratio)
+    tx = optax.chain(
+        optax.clip_by_global_norm(grad_clip),
+        optax.adamw(schedule, b1=0.9, b2=0.999, weight_decay=weight_decay,
+                    mask={"decay": True, "nodecay": False}),
+    )
+    return tx, schedule
+
+
 def make_optimizer(base_lr: float, total_steps: int,
                    weight_decay: float = 0.05, grad_clip: float = 10.0,
                    peak_ratio: float = 100.0,

@@ -105,10 +105,18 @@ def train(cfg: OcOccNetConfig, dataset, work_dir: str,
     if prefetch:
         # background thread: sample building overlaps the device step
         loader = ThreadPrefetcher(loader, depth=2)
+    # flat optimizer (training/optim.make_flat_optimizer): identical math
+    # but MEASURED SLOWER on TPU (201 -> 129 t/s) — the flat<->tree
+    # boundary retiles every 2D parameter between linear and (8,128)-tiled
+    # layouts each step, costing far more than the per-leaf fusion
+    # overhead it removes (BENCH_NOTES round 4). Kept available for
+    # study; off in production.
+    flat_opt = False
     cpu = jax.devices("cpu")[0]
     with jax.default_device(cpu):
         model, state, tx, schedule = create_train_state(
-            cfg, jax.random.PRNGKey(seed), sample, total_steps)
+            cfg, jax.random.PRNGKey(seed), sample, total_steps,
+            flat_opt=flat_opt)
     state = jax.device_put(state)
 
     ckpt = CheckpointManager(os.path.join(work_dir, "ckpt"))
@@ -120,7 +128,7 @@ def train(cfg: OcOccNetConfig, dataset, work_dir: str,
 
     step_fn = make_train_step(
         model, tx, mesh, state=state if (tp > 1 or fsdp) else None,
-        fsdp=fsdp, sequence_parallel=sequence_parallel)
+        fsdp=fsdp, sequence_parallel=sequence_parallel, flat_opt=flat_opt)
     rng = jax.random.PRNGKey(seed + 1)
     start = int(state.step)
     t_last = time.time()
