@@ -26,7 +26,6 @@ import jax.numpy as jnp
 
 from ..ops import voxelize as vx
 from ..ops import window as win
-from .layers import LN_EPS
 from .vfe import DynamicVFE
 
 
@@ -144,12 +143,15 @@ class WindowMSALayer(nn.Module):
             from ..ops.pallas_attention import window_attention_xla
             out = window_attention_xla(q_f, k_f, v_f, mask, h)
         out = nn.Dense(d, name="out")(out)
-        x = nn.LayerNorm(epsilon=LN_EPS, name="norm1")(tokens + out)
+        # the reference EncoderLayer norms are plain torch nn.LayerNorm
+        # (sst_basic_block_v2.py:98-99) -> eps 1e-5, unlike the
+        # VFE/occ norms whose configs pin eps=1e-3
+        x = nn.LayerNorm(epsilon=1e-5, name="norm1")(tokens + out)
         f = nn.Dense(self.ffn_dim, name="ffn1")(x)
         # reference EncoderLayer default activation is relu
         # (sst_basic_block_v2.py:80; the sst configs do not override it)
         f = nn.Dense(d, name="ffn2")(nn.relu(f))
-        x = nn.LayerNorm(epsilon=LN_EPS, name="norm2")(x + f)
+        x = nn.LayerNorm(epsilon=1e-5, name="norm2")(x + f)
         return jnp.where(mask[..., None], x, 0.0)
 
 

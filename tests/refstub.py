@@ -283,6 +283,13 @@ def load_reference():
     ops.scatter_v2 = out["sst_ops"].scatter_v2
     ops.build_mlp = out["sst_ops"].build_mlp
     ops.get_activation_layer = out["sst_ops"].get_activation_layer
+    ops.flat2window_v2 = out["sst_ops"].flat2window_v2
+    ops.window2flat_v2 = out["sst_ops"].window2flat_v2
+
+    _pkg("mmdet3d.models.sst")
+    out["sst_basic_block"] = _load(
+        "models/sst/sst_basic_block_v2.py",
+        "mmdet3d.models.sst.sst_basic_block_v2")
 
     out["occ_ops"] = _load("ops/occ/occ_ops.py", "mmdet3d.ops.occ.occ_ops")
     sys.modules["mmdet3d.ops.occ"].occ_ops = out["occ_ops"]

@@ -230,3 +230,77 @@ def test_transformer_stack_transplant(refs):
         jnp.asarray(pos.numpy()).transpose(1, 0, 2),
         True)).transpose(1, 0, 2)
     np.testing.assert_allclose(got, ref, atol=5e-5, rtol=1e-4)
+
+
+# ------------------------------------------------- SST window encoder layer
+def test_sst_encoder_layer_transplant(refs):
+    """The reference SST EncoderLayer (torch nn.MultiheadAttention inside
+    WindowAttention, ``sst_basic_block_v2.py:78-126``) executed END-TO-END
+    through the real ``flat2window_v2``/``window2flat_v2`` machinery, vs
+    ``models/sst.WindowMSALayer``. Pins: the packed in_proj q/k/v split,
+    out_proj, q = k = x + pos with pos NOT added to v, key-padding masked
+    softmax, relu FFN, post-norm residual order, and LN eps 1e-5."""
+    from objectcentricocccompletion_tpu.models.sst import WindowMSALayer
+    sst_ops = refs["sst_ops"]
+    EncoderLayer = refs["sst_basic_block"].EncoderLayer
+
+    torch.manual_seed(0)
+    C, H, FFN, T = 32, 4, 64, 12
+    layer = EncoderLayer(C, H, dim_feedforward=FFN, dropout=0.0,
+                         activation="relu", mlp_dropout=0).eval()
+
+    counts = [9, 12, 5, 1]
+    N = sum(counts)
+    batch_win_inds = torch.cat([
+        torch.full((c,), i, dtype=torch.long)
+        for i, c in enumerate(counts)])
+    drop_info = {0: {"max_tokens": T, "drop_range": (0, 100000)}}
+    voxel_drop_lvl = torch.zeros(N, dtype=torch.long)
+    ind_dict = sst_ops.get_flat2win_inds_v2(
+        batch_win_inds, voxel_drop_lvl, drop_info)
+
+    feat = torch.randn(N, C)
+    pos = torch.randn(N, C)
+    pos_dict = sst_ops.flat2window_v2(pos, ind_dict)
+    filled = sst_ops.flat2window_v2(torch.ones(N, 1), ind_dict)
+    key_padding_dict = {k: (v.squeeze(-1) == 0)
+                        for k, v in filled.items()}
+    with torch.no_grad():
+        ref = layer(feat, pos_dict, ind_dict, key_padding_dict).numpy()
+
+    # our dense-window form at the same (window, rank) placement the
+    # reference uses (inner ranks are order-preserving and the flat order
+    # here is grouped by window)
+    W = len(counts)
+    tokens = np.zeros((W, T, C), np.float32)
+    posw = np.zeros((W, T, C), np.float32)
+    mask = np.zeros((W, T), bool)
+    off = 0
+    for i, c in enumerate(counts):
+        tokens[i, :c] = feat[off:off + c].numpy()
+        posw[i, :c] = pos[off:off + c].numpy()
+        mask[i, :c] = True
+        off += c
+
+    m = WindowMSALayer(num_heads=H, ffn_dim=FFN)
+    attn = layer.win_attn.self_attn
+    wq, wk, wv = attn.in_proj_weight.chunk(3, dim=0)
+    bq, bk, bv = attn.in_proj_bias.chunk(3, dim=0)
+    params = {
+        "q": {"kernel": _t2j(wq).T, "bias": _t2j(bq)},
+        "k": {"kernel": _t2j(wk).T, "bias": _t2j(bk)},
+        "v": {"kernel": _t2j(wv).T, "bias": _t2j(bv)},
+        "out": _lin(attn.out_proj),
+        "ffn1": _lin(layer.linear1),
+        "ffn2": _lin(layer.linear2),
+        "norm1": _ln(layer.norm1),
+        "norm2": _ln(layer.norm2),
+    }
+    got = np.asarray(m.apply({"params": params}, jnp.asarray(tokens),
+                             jnp.asarray(posw), jnp.asarray(mask)))
+
+    off = 0
+    for i, c in enumerate(counts):
+        np.testing.assert_allclose(got[i, :c], ref[off:off + c],
+                                   atol=2e-5, rtol=2e-5)
+        off += c
