@@ -23,27 +23,42 @@ NEG = -1e9
 
 
 def _attn_kernel(q_ref, k_ref, v_ref, mask_ref, o_ref, *, num_heads: int):
-    """One window: refs are [1, T, C] blocks (mask [1, T, 1])."""
-    q = q_ref[0].astype(jnp.float32)
-    k = k_ref[0].astype(jnp.float32)
-    v = v_ref[0].astype(jnp.float32)
-    m = mask_ref[0].astype(jnp.float32)      # [T, 1]; 1 = valid key
-    t, c = q.shape
+    """One block of WB windows: refs are [WB, T, C] (mask [WB, T, 1]).
+
+    Round-4 profile: the original one-window-per-program grid was pure
+    grid-step-overhead bound at production shapes (W=3200 steps of
+    ~0.26 MFLOP each -> 28 ms/layer, 51% of SST inference). Batching WB
+    windows per program amortizes the grid sequencing. Mosaic on this
+    toolchain cannot lower 3D batched dots (vector_extract_slice check
+    crash), so the block is collapsed to 2D [WB*T, C] and each head runs
+    ONE [N, N] matmul with a block-diagonal window mask — WBx more FLOPs
+    on MXU-friendly shapes, a win while overhead-bound."""
+    q2 = q_ref[...].astype(jnp.float32).reshape(-1, q_ref.shape[-1])
+    k2 = k_ref[...].astype(jnp.float32).reshape(q2.shape)
+    v2 = v_ref[...].astype(jnp.float32).reshape(q2.shape)
+    m = mask_ref[...].astype(jnp.float32).reshape(1, q2.shape[0])
+    wb, t, c = q_ref.shape
+    n = wb * t
     hd = c // num_heads
     scale = 1.0 / (hd ** 0.5)
-    bias = (m.T - 1.0) * (-NEG)              # 0 valid / NEG invalid
+    # valid key = same window (block diagonal) AND mask set
+    row_win = jax.lax.broadcasted_iota(jnp.int32, (n, n), 0) // t
+    col_win = jax.lax.broadcasted_iota(jnp.int32, (n, n), 1) // t
+    bias = jnp.where((row_win == col_win) & (m > 0.5), 0.0, NEG)
 
+    outs = []
     for h in range(num_heads):
         sl = slice(h * hd, (h + 1) * hd)
-        logits = jnp.dot(q[:, sl] * scale, k[:, sl].T,
-                         preferred_element_type=jnp.float32)
-        logits = logits + bias
+        logits = jnp.dot(q2[:, sl] * scale, k2[:, sl].T,
+                         preferred_element_type=jnp.float32) + bias
         lmax = jnp.max(logits, axis=-1, keepdims=True)
         p = jnp.exp(logits - lmax)
         denom = jnp.maximum(jnp.sum(p, axis=-1, keepdims=True), 1e-20)
-        o_ref[0, :, sl] = (jnp.dot(p, v[:, sl],
-                                   preferred_element_type=jnp.float32)
-                           / denom).astype(o_ref.dtype)
+        outs.append(jnp.dot(p, v2[:, sl],
+                            preferred_element_type=jnp.float32) / denom)
+    # one whole-block store (no strided per-head output slices)
+    o_ref[...] = jnp.concatenate(outs, axis=-1).reshape(
+        wb, t, c).astype(o_ref.dtype)
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5))
@@ -52,27 +67,51 @@ def pallas_window_attention(q: jax.Array, k: jax.Array, v: jax.Array,
                             interpret: bool = False) -> jax.Array:
     """q/k/v: [W, T, C]; mask: [W, T] bool -> [W, T, C].
 
-    Grid = one program per window; each window's q/k/v/mask block lives in
-    VMEM for the whole computation. Differentiable: the backward is the
-    einsum composition's VJP (recompute — the fused forward saves no
-    probabilities), so SST trains through the fused path on TPU.
+    Grid = one program per WINDOW_BLOCK windows; each block's q/k/v/mask
+    lives in VMEM for the whole computation, and the ``[., H, T, T]``
+    probabilities never reach HBM (the einsum formulation OOM'd the full
+    SST train graph at production shapes — BENCH_NOTES round 4).
+    Differentiable: the backward is the chunked recompute VJP, so SST
+    trains through the fused path on TPU.
     """
     W, T, C = q.shape
+    # bound the in-kernel [wb*T, wb*T] logits to ~512^2 f32 (1 MB VMEM
+    # per head-step) — e.g. T=32 -> wb=16, T=144 -> wb=3
+    wb = max(1, min(WINDOW_BLOCK, 512 // T, W))
+    Wp = ((W + wb - 1) // wb) * wb
+    if Wp != W:
+        padw = [(0, Wp - W), (0, 0), (0, 0)]
+        q = jnp.pad(q, padw)
+        k = jnp.pad(k, padw)
+        v = jnp.pad(v, padw)
+        mask = jnp.pad(mask, [(0, Wp - W), (0, 0)])
     mask_f = mask[..., None].astype(q.dtype)
     kern = functools.partial(_attn_kernel, num_heads=num_heads)
-    return pl.pallas_call(
+    out = pl.pallas_call(
         kern,
-        grid=(W,),
+        grid=(Wp // wb,),
         in_specs=[
-            pl.BlockSpec((1, T, C), lambda w: (w, 0, 0)),
-            pl.BlockSpec((1, T, C), lambda w: (w, 0, 0)),
-            pl.BlockSpec((1, T, C), lambda w: (w, 0, 0)),
-            pl.BlockSpec((1, T, 1), lambda w: (w, 0, 0)),
+            pl.BlockSpec((wb, T, C), lambda w: (w, 0, 0)),
+            pl.BlockSpec((wb, T, C), lambda w: (w, 0, 0)),
+            pl.BlockSpec((wb, T, C), lambda w: (w, 0, 0)),
+            pl.BlockSpec((wb, T, 1), lambda w: (w, 0, 0)),
         ],
-        out_specs=pl.BlockSpec((1, T, C), lambda w: (w, 0, 0)),
-        out_shape=jax.ShapeDtypeStruct((W, T, C), q.dtype),
+        out_specs=pl.BlockSpec((wb, T, C), lambda w: (w, 0, 0)),
+        out_shape=jax.ShapeDtypeStruct((Wp, T, C), q.dtype),
         interpret=interpret,
     )(q, k, v, mask_f)
+    return out[:W] if Wp != W else out
+
+
+# Windows per grid step (OCOCC_ATTN_WB). Round-4 sweep at SST production
+# shapes, honest chained-dispatch latency (BENCH_NOTES): wb=1 143.4
+# ms/frame, wb=4 149.7, wb=16 179.0 — the one-window program is optimal;
+# the kernel is VPU-bound per window, so the block-diagonal [wb*T, wb*T]
+# form's x-wb masked-softmax waste outweighs the grid sequencing it
+# saves. The generalized kernel stays (it is the only form validated in
+# the FULL train graph: losses match the einsum reference, unlike the
+# cursed backward) with wb=1 as the default.
+WINDOW_BLOCK = int(__import__("os").environ.get("OCOCC_ATTN_WB", "1"))
 
 
 import os

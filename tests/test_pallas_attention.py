@@ -157,3 +157,21 @@ def test_chunked_bwd_small_chunk_matches():
     for r, o in zip(ref, got):
         np.testing.assert_allclose(np.asarray(o), np.asarray(r),
                                    atol=1e-5, rtol=1e-5)
+
+
+def test_pallas_multiblock_padded_matches_jnp(monkeypatch):
+    """W not a multiple of the window block exercises the pad-and-slice
+    path and the block-diagonal mask of the generalized kernel (the
+    production default is wb=1 — measured fastest; BENCH_NOTES r4)."""
+    from objectcentricocccompletion_tpu.ops import pallas_attention as pa
+    monkeypatch.setattr(pa, "WINDOW_BLOCK", 16)
+    rng = np.random.RandomState(7)
+    W, T, C, H = 37, 16, 32, 4          # wb=16 -> grid 3, pad 37 -> 48
+    q = jnp.asarray(rng.randn(W, T, C).astype(np.float32))
+    k = jnp.asarray(rng.randn(W, T, C).astype(np.float32))
+    v = jnp.asarray(rng.randn(W, T, C).astype(np.float32))
+    mask = jnp.asarray(rng.rand(W, T) > 0.3).at[:, 0].set(True)
+    ref = jnp_window_attention(q, k, v, mask, H)
+    got = pallas_window_attention(q, k, v, mask, H, True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               atol=2e-5, rtol=2e-5)
