@@ -93,7 +93,13 @@ def main():
     elif family == "sst":
         from objectcentricocccompletion_tpu.models.sst_detector import (
             SSTDetector, SSTDetectorConfig)
+        import dataclasses
+        # production SST compute dtype: bfloat16 (the reference trains
+        # with fp16 loss_scale=32); BENCH_DTYPE=float32 for parity probes
         cfg0 = SSTDetectorConfig()
+        cfg0 = dataclasses.replace(cfg0, sst=dataclasses.replace(
+            cfg0.sst,
+            compute_dtype=os.environ.get("BENCH_DTYPE", "bfloat16")))
         cfg = cfg0.sst
         model = SSTDetector(cfg0)
         args = synth_frame(cfg.max_points, cfg.pc_range)

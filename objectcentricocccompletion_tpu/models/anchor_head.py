@@ -111,18 +111,22 @@ class AnchorHead(nn.Module):
     num_classes: int = 1
     num_anchors_per_cell: int = 2   # len(sizes) * len(rotations)
     feat_channels: int = 384
+    dtype: str | None = None        # conv computation dtype (params f32)
 
     @nn.compact
     def __call__(self, bev: jax.Array):
         """bev [H, W, C] -> cls [A, ncls], reg [A, 7], dir [A, 2]."""
+        import jax.numpy as jnp
+        dt = jnp.dtype(self.dtype) if self.dtype else None
         n = self.num_anchors_per_cell
-        x = nn.Conv(self.feat_channels, (1, 1), name="shared")(bev)
+        x = nn.Conv(self.feat_channels, (1, 1), dtype=dt,
+                    name="shared")(bev)
         x = nn.relu(x)
-        cls = nn.Conv(n * self.num_classes, (1, 1),
+        cls = nn.Conv(n * self.num_classes, (1, 1), dtype=dt,
                       bias_init=nn.initializers.constant(-4.59),
                       name="cls")(x)
-        reg = nn.Conv(n * 7, (1, 1), name="reg")(x)
-        dirc = nn.Conv(n * 2, (1, 1), name="dir")(x)
+        reg = nn.Conv(n * 7, (1, 1), dtype=dt, name="reg")(x)
+        dirc = nn.Conv(n * 2, (1, 1), dtype=dt, name="dir")(x)
         A = bev.shape[0] * bev.shape[1] * n
         return (cls.reshape(A, self.num_classes), reg.reshape(A, 7),
                 dirc.reshape(A, 2))

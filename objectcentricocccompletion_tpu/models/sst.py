@@ -44,9 +44,15 @@ class SSTConfig:
     vfe_channels: Sequence[int] = (64, 128)
     pos_temperature: float = 10000.0
     # fused VMEM attention kernel (ops/pallas_attention.py) — validated on
-    # hardware: matches the einsum path and runs ~1.2x faster at full-size
-    # window shapes; automatically bypassed off-TPU
+    # hardware and in the full train graph; its value at production shapes
+    # is MEMORY (the einsum forward OOMs the train graph — BENCH_NOTES
+    # round 4); automatically bypassed off-TPU
     use_pallas_attention: bool = True
+    # computation dtype for the transformer/VFE/attention path; parameters
+    # and LayerNorm statistics stay float32. The reference trains SST in
+    # fp16 with loss scale 32 (configs/sst/*.py:85 `fp16 = dict(
+    # loss_scale=32.0)`); bfloat16 needs no loss scaling.
+    compute_dtype: str = "float32"
 
     # two-level drop-level batching (sst_input_layer_v2.drop_voxel):
     # windows with <= small_capacity tokens attend at the small budget —
@@ -117,18 +123,21 @@ class WindowMSALayer(nn.Module):
     num_heads: int
     ffn_dim: int
     use_pallas: bool = False
+    dtype: str | None = None
 
     @nn.compact
     def __call__(self, tokens, pos, mask):
         """tokens/pos: [W, T, C]; mask: [W, T] True = valid."""
+        dt = jnp.dtype(self.dtype) if self.dtype else tokens.dtype
+        tokens = tokens.astype(dt)
         d = tokens.shape[-1]
         h = self.num_heads
         hd = d // h
-        qk = tokens + pos
+        qk = tokens + pos.astype(dt)
 
-        q_f = nn.Dense(d, name="q")(qk)
-        k_f = nn.Dense(d, name="k")(qk)
-        v_f = nn.Dense(d, name="v")(tokens)
+        q_f = nn.Dense(d, dtype=dt, name="q")(qk)
+        k_f = nn.Dense(d, dtype=dt, name="k")(qk)
+        v_f = nn.Dense(d, dtype=dt, name="v")(tokens)
         # the fused kernel runs on TPU only; other backends (CPU tests)
         # take the einsum path automatically
         # honor a jax.default_device(cpu) context (CPU-offloaded init)
@@ -142,15 +151,15 @@ class WindowMSALayer(nn.Module):
             # flash-style backward (no [W, H, T, T] HBM materialization)
             from ..ops.pallas_attention import window_attention_xla
             out = window_attention_xla(q_f, k_f, v_f, mask, h)
-        out = nn.Dense(d, name="out")(out)
+        out = nn.Dense(d, dtype=dt, name="out")(out.astype(dt))
         # the reference EncoderLayer norms are plain torch nn.LayerNorm
         # (sst_basic_block_v2.py:98-99) -> eps 1e-5, unlike the
         # VFE/occ norms whose configs pin eps=1e-3
         x = nn.LayerNorm(epsilon=1e-5, name="norm1")(tokens + out)
-        f = nn.Dense(self.ffn_dim, name="ffn1")(x)
+        f = nn.Dense(self.ffn_dim, dtype=dt, name="ffn1")(x.astype(dt))
         # reference EncoderLayer default activation is relu
         # (sst_basic_block_v2.py:80; the sst configs do not override it)
-        f = nn.Dense(d, name="ffn2")(nn.relu(f))
+        f = nn.Dense(d, dtype=dt, name="ffn2")(nn.relu(f))
         x = nn.LayerNorm(epsilon=1e-5, name="norm2")(x + f)
         return jnp.where(mask[..., None], x, 0.0)
 
@@ -160,12 +169,14 @@ class SST(nn.Module):
 
     def setup(self):
         c = self.cfg
+        dt = c.compute_dtype
         self.vfe = DynamicVFE(feat_channels=c.vfe_channels,
-                              voxel_size=c.voxel_size, pc_range=c.pc_range)
-        self.input_proj = nn.Dense(c.d_model)
+                              voxel_size=c.voxel_size, pc_range=c.pc_range,
+                              dtype=dt)
+        self.input_proj = nn.Dense(c.d_model, dtype=jnp.dtype(dt))
         self.layers = [
             WindowMSALayer(c.num_heads, c.ffn_dim,
-                           use_pallas=c.use_pallas_attention,
+                           use_pallas=c.use_pallas_attention, dtype=dt,
                            name=f"block{i}_shift{s}")
             for i in range(c.num_blocks) for s in (0, 1)]
 

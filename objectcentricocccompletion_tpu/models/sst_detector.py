@@ -12,6 +12,7 @@ import dataclasses
 
 import flax.linen as nn
 import jax
+import jax.numpy as jnp
 
 from . import anchor_head as ah
 from .sst import SST, SSTConfig, tiny_sst_config
@@ -41,16 +42,19 @@ class SSTDetector(nn.Module):
         n_anchor = len(c.anchors.sizes) * len(c.anchors.rotations)
         self.head = ah.AnchorHead(num_classes=c.num_classes,
                                   num_anchors_per_cell=n_anchor,
-                                  feat_channels=c.neck_channels)
+                                  feat_channels=c.neck_channels,
+                                  dtype=c.sst.compute_dtype)
 
     @nn.compact
     def _neck(self, bev):
-        x = bev
+        dt = jnp.dtype(self.cfg.sst.compute_dtype)
+        x = bev.astype(dt)
         for i, d in enumerate((1, 2, 3)):   # attached dilated convs
             x = nn.Conv(self.cfg.neck_channels, (3, 3),
-                        kernel_dilation=(d, d), use_bias=False,
+                        kernel_dilation=(d, d), use_bias=False, dtype=dt,
                         name=f"dil{i}")(x)
-            x = nn.GroupNorm(num_groups=16, epsilon=1e-3)(x)
+            # GroupNorm statistics stay float32 (promotion)
+            x = nn.GroupNorm(num_groups=16, epsilon=1e-3)(x).astype(dt)
             x = nn.relu(x)
         return x
 
@@ -58,7 +62,10 @@ class SSTDetector(nn.Module):
         bev = self.backbone(points, mask)
         feat = self._neck(bev)
         cls, reg, dirc = self.head(feat)
-        return dict(cls=cls, reg=reg, dir=dirc, bev_hw=feat.shape[:2])
+        # losses and box decode run in float32 regardless of compute dtype
+        return dict(cls=cls.astype(jnp.float32),
+                    reg=reg.astype(jnp.float32),
+                    dir=dirc.astype(jnp.float32), bev_hw=feat.shape[:2])
 
     def _anchors(self, hw):
         return ah.generate_anchors(hw, self.cfg.sst.pc_range,

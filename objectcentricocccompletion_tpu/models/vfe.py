@@ -32,6 +32,9 @@ class DynamicVFE(nn.Module):
     voxel_size: Sequence[float] = (0.1, 0.1, 0.15)
     pc_range: Sequence[float] = (-74.88, -74.88, -2, 74.88, 74.88, 4)
     mode: str = "max"
+    # computation dtype of the Linear layers (decoration + LN stats stay
+    # float32); None = float32
+    dtype: str | None = None
 
     @nn.compact
     def __call__(self, points: jax.Array, vres: vx.VoxelizeResult,
@@ -57,8 +60,10 @@ class DynamicVFE(nn.Module):
 
         point_feats = x
         for i, c in enumerate(self.feat_channels):
-            point_feats = nn.Dense(c, use_bias=False,
-                                   name=f"vfe_{i}")(point_feats)
+            point_feats = nn.Dense(
+                c, use_bias=False,
+                dtype=jnp.dtype(self.dtype) if self.dtype else None,
+                name=f"vfe_{i}")(point_feats)
             point_feats = nn.LayerNorm(epsilon=LN_EPS,
                                        name=f"norm_{i}")(point_feats)
             point_feats = nn.relu(point_feats)

@@ -169,3 +169,41 @@ def test_sst_two_level_matches_single_level():
     out2 = SST(cfg2).apply(v, pts, mask)
     np.testing.assert_allclose(np.asarray(out1), np.asarray(out2),
                                atol=2e-5, rtol=2e-5)
+
+
+def test_sst_bf16_compute_close_to_f32():
+    """bfloat16 compute (the production/bench dtype; the reference trains
+    SST in fp16) keeps params/LN stats in f32 and must track the f32 loss
+    closely on the tiny config."""
+    import dataclasses
+    import jax
+    import numpy as np
+    from objectcentricocccompletion_tpu.models.sst_detector import (
+        SSTDetector, SSTDetectorConfig, tiny_sst_detector_config)
+
+    cfg32 = tiny_sst_detector_config()
+    cfg16 = dataclasses.replace(cfg32, sst=dataclasses.replace(
+        cfg32.sst, compute_dtype="bfloat16"))
+    rng = np.random.RandomState(0)
+    n = 256
+    pts = rng.uniform(-9, 9, (n, 3)).astype(np.float32)
+    pts = np.concatenate([pts, rng.rand(n, 2).astype(np.float32)], -1)
+    mask = np.arange(n) < 200
+    gt = np.array([[1.0, 2.0, -0.5, 2.0, 4.5, 1.7, 0.3]], np.float32)
+    gtl = np.zeros((1,), np.int32)
+    gtv = np.ones((1,), bool)
+
+    m32 = SSTDetector(cfg32)
+    m16 = SSTDetector(cfg16)
+    p32 = m32.init(jax.random.PRNGKey(0), pts, mask)["params"]
+    # param trees are dtype-independent (params stay f32)
+    d32 = m32.apply({"params": p32}, pts, mask, gt, gtl, gtv,
+                    method=m32.loss)
+    d16 = m16.apply({"params": p32}, pts, mask, gt, gtl, gtv,
+                    method=m16.loss)
+    for leaf in jax.tree_util.tree_leaves(p32):
+        assert leaf.dtype == np.float32
+    for k in d32:
+        a, b = float(d32[k]), float(d16[k])
+        assert np.isfinite(b), (k, b)
+        assert abs(a - b) <= 0.05 * max(abs(a), 1e-3) + 2e-2, (k, a, b)

@@ -73,9 +73,13 @@ def bench_detector(args):
         cfg = CenterPointConfig()
         model = DynamicCenterPoint(cfg)
     elif args.family == "sst":
+        import dataclasses
+
         from objectcentricocccompletion_tpu.models.sst_detector import (
             SSTDetector, SSTDetectorConfig)
         cfg0 = SSTDetectorConfig()
+        cfg0 = dataclasses.replace(cfg0, sst=dataclasses.replace(
+            cfg0.sst, compute_dtype=args.dtype))
         cfg = cfg0.sst
         model = SSTDetector(cfg0)
     else:
