@@ -312,3 +312,33 @@ def load_reference():
 
     _loaded = out
     return out
+
+
+_occ_annotate = None
+
+
+def load_occ_annotate():
+    """Load the reference annotator (``tools/occ/occ_annotate.py``) on top of
+    the stub tree — its ``point_cloud_to_range_image_idx`` and the
+    LiDARInstance3DBoxes transforms it uses are pure torch and executable."""
+    global _occ_annotate
+    if _occ_annotate is not None:
+        return _occ_annotate
+    load_reference()
+    # occ_annotate imports data-prep helpers it only uses at segment level
+    _pkg("tools")
+    _pkg("tools.ctrl")
+    _mod("tools.ctrl.utils", get_pc_from_time_stamp=None, read_bin=None,
+         generate_tracklets=None)
+    spec = importlib.util.spec_from_file_location(
+        "ref_occ_annotate", "/root/reference/tools/occ/occ_annotate.py")
+    mod = importlib.util.module_from_spec(spec)
+    sys.modules["ref_occ_annotate"] = mod
+    argv = sys.argv
+    sys.argv = [argv[0]]  # the file runs argparse at module scope
+    try:
+        spec.loader.exec_module(mod)
+    finally:
+        sys.argv = argv
+    _occ_annotate = mod
+    return mod
