@@ -315,6 +315,37 @@ def load_reference():
 
 
 _occ_annotate = None
+_occ_pipelines = None
+
+
+def load_occ_pipelines():
+    """Load the reference occ training pipelines
+    (``mmdet3d/datasets/pipelines/occ_pinelines.py``) — LoadAnnotationsOcc,
+    MirrorOccLabel, RandomSampleOccPoints are pure torch/numpy."""
+    global _occ_pipelines
+    if _occ_pipelines is not None:
+        return _occ_pipelines
+    refs = load_reference()
+
+    class _Plain:
+        def __init__(self, *a, **k):
+            pass
+
+    _mod("mmcv.parallel", DataContainer=_Plain)
+    _mod("mmdet.datasets.builder", PIPELINES=_Registry())
+    _mod("mmdet.datasets.pipelines", LoadAnnotations=_Plain,
+         LoadImageFromFile=_Plain, to_tensor=torch.as_tensor)
+    _mod("mmdet3d.datasets.pipelines", LoadPointsFromFile=_Plain)
+    _mod("mmdet3d.datasets.pipelines.formating",
+         DefaultFormatBundle3D=_Plain)
+    _mod("mmdet3d.datasets.pipelines.transforms_3d", ObjectNameFilter=_Plain,
+         ObjectRangeFilter=_Plain, RandomFlip3D=_Plain)
+    _mod("mmdet3d.core.points", get_points_type=lambda t: _Plain)
+    sys.modules["mmdet3d.core"].LiDARInstance3DBoxes = \
+        refs["lidar_box3d"].LiDARInstance3DBoxes
+    _occ_pipelines = _load("datasets/pipelines/occ_pinelines.py",
+                           "mmdet3d.datasets.pipelines.occ_pinelines")
+    return _occ_pipelines
 
 
 def load_occ_annotate():
