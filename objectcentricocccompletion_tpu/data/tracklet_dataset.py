@@ -100,6 +100,55 @@ def pose_transform_boxes(boxes: np.ndarray, src_poses: np.ndarray,
         [ctr, boxes[:, 3:6], new_yaw[:, None]], 1).astype(np.float32)
 
 
+def pose_transform_points(pts_xyz: np.ndarray, mm: np.ndarray) -> np.ndarray:
+    """Per-frame ego points -> shared frame via ``mm = inv(center) @ pose``
+    (``TrackletPoseTransform.points_frame_transform``,
+    ``tracklet_pipelines.py:287-297``)."""
+    return pts_xyz @ mm[:3, :3].T + mm[:3, 3]
+
+
+def apply_flip(points: np.ndarray, boxes_list, horizontal: bool) -> None:
+    """In-place BEV flip (``TrackletRandomFlip`` -> ``LiDARPoints.flip`` +
+    ``LiDARInstance3DBoxes.flip``): horizontal mirrors y and maps
+    yaw -> pi - yaw; vertical mirrors x and negates yaw."""
+    if horizontal:
+        points[..., 1] *= -1
+        for b in boxes_list:
+            b[:, 1] *= -1
+            b[:, 6] = np.pi - b[:, 6]
+    else:
+        points[..., 0] *= -1
+        for b in boxes_list:
+            b[:, 0] *= -1
+            b[:, 6] = -b[:, 6]
+
+
+def apply_rot_scale_trans(points: np.ndarray, boxes_list, ang: float,
+                          sc: float, tr: np.ndarray) -> None:
+    """In-place global rotation/scale/translation
+    (``TrackletGlobalRotScaleTrans``: boxes ``rotate(ang)`` while points
+    ``rotate(-ang)`` — the two classes use transposed matrix conventions, so
+    both reduce to the same ``x' = x c + y s, y' = y c - x s`` map; scale
+    multiplies centers, sizes and points; translation adds last)."""
+    c, s = np.cos(ang), np.sin(ang)
+    # scalar-angle rotate_z, in place (the generic helper builds full-size
+    # angle/cos/sin arrays — measured 15% of build time)
+    x = points[..., 0].copy()
+    y = points[..., 1]
+    points[..., 0] = x * c + y * s
+    points[..., 1] = y * c - x * s
+    for b in boxes_list:
+        bx = b[:, 0].copy()
+        by = b[:, 1]
+        b[:, 0] = bx * c + by * s
+        b[:, 1] = by * c - bx * s
+        b[:, 6] += ang
+        b[:, :6] *= sc
+        b[:, :3] += tr
+    points[..., :3] *= sc
+    points[..., :3] += tr
+
+
 class TrackletDataset:
     """Reference-format tracklet dataset producing dense numpy samples."""
 
@@ -399,7 +448,7 @@ class TrackletDataset:
             if len(p) > P:
                 p = p[rng.permutation(len(p))[:P]]
             n = len(p)
-            points[i, :n, :3] = p[:, :3] @ mm[i, :3, :3].T + mm[i, :3, 3]
+            points[i, :n, :3] = pose_transform_points(p[:, :3], mm[i])
             points[i, :n, 3:5] = p[:, 3:5]
             mask[i, :n] = True
 
@@ -414,51 +463,33 @@ class TrackletDataset:
                     gt_boxes[i] = gt_all[gt_idx[t]]
                     gt_valid[i] = True
 
-        # --- proposal noise (TrackletNoise, per-frame iid uniform) ---
+        # --- proposal noise (TrackletNoise, per-frame iid uniform;
+        # centers additive, sizes MULTIPLICATIVE `* (1 + u)` — the
+        # reference's add_size_noise, lidar_tracklet.py:519-537) ---
         if self.training and self.augment:
             boxes = boxes.copy()
             boxes[:, 0:3] += rng.uniform(-1, 1, (Lf, 3)) * [0.2, 0.2, 0.1]
-            boxes[:, 3:6] += rng.uniform(-1, 1, (Lf, 3)) * [0.2, 0.2, 0.1]
+            boxes[:, 3:6] *= 1 + rng.uniform(-1, 1, (Lf, 3)) * [0.2, 0.2, 0.1]
             boxes[:, 6] += rng.uniform(-0.2, 0.2, Lf)
 
-        # --- decoration (PointDecoration: yaw, size, score) ---
-        points[:, :, 5] = boxes[:, 6:7] / np.pi
+        # --- decoration (PointDecoration: yaw, size, score; the yaw
+        # normalizer is the reference's literal 3.1415, not pi —
+        # tracklet_pipelines.py:585) ---
+        points[:, :, 5] = boxes[:, 6:7] / 3.1415
         points[:, :, 6:9] = boxes[:, None, 3:6] / 10.0
         points[:, :, 9] = scores[:, None]
         points[:, :, 5:] *= mask[:, :, None]      # padded slots stay zero
 
         # --- global flips / rot / scale / trans (train only) ---
         if self.training and self.augment:
-            if rng.rand() < 0.5:   # horizontal: y -> -y, yaw -> pi - yaw
-                points[..., 1] *= -1
-                for b in (boxes, gt_boxes):
-                    b[:, 1] *= -1
-                    b[:, 6] = np.pi - b[:, 6]
-            if rng.rand() < 0.5:   # vertical: x -> -x, yaw -> -yaw
-                points[..., 0] *= -1
-                for b in (boxes, gt_boxes):
-                    b[:, 0] *= -1
-                    b[:, 6] = -b[:, 6]
+            if rng.rand() < 0.5:
+                apply_flip(points, (boxes, gt_boxes), horizontal=True)
+            if rng.rand() < 0.5:
+                apply_flip(points, (boxes, gt_boxes), horizontal=False)
             ang = rng.uniform(-np.pi / 4, np.pi / 4)
             sc = rng.uniform(0.95, 1.05)
             tr = np.array([0, 0, rng.normal(0, 0.2)], np.float32)
-            # scalar-angle rotate_z, in place (the generic helper builds
-            # full-size angle/cos/sin arrays — measured 15% of build time)
-            c, s = np.cos(ang), np.sin(ang)
-            x = points[..., 0].copy()
-            y = points[..., 1]
-            points[..., 0] = x * c + y * s
-            points[..., 1] = y * c - x * s
-            for b in (boxes, gt_boxes):
-                bx = b[:, 0].copy()
-                by = b[:, 1]
-                b[:, 0] = bx * c + by * s
-                b[:, 1] = by * c - bx * s
-                b[:, 6] += ang
-                b[:, :6] *= sc
-                b[:, :3] += tr
-            points[..., :3] *= sc
-            points[..., :3] += tr
+            apply_rot_scale_trans(points, (boxes, gt_boxes), ang, sc, tr)
 
         # --- range filter (per-axis compares; no [L, P, 3] temporaries) ---
         lo, hi = POINT_RANGE[:3], POINT_RANGE[3:]

@@ -348,6 +348,29 @@ def load_occ_pipelines():
     return _occ_pipelines
 
 
+_trk_pipelines = None
+
+
+def load_tracklet_pipelines():
+    """Load the reference tracklet training pipelines
+    (``mmdet3d/datasets/pipelines/tracklet_pipelines.py``) with the REAL
+    LiDARPoints class so points.flip/rotate/scale execute for real."""
+    global _trk_pipelines
+    if _trk_pipelines is not None:
+        return _trk_pipelines
+    load_occ_pipelines()  # installs the shared pipeline stubs
+    _load("core/points/base_points.py", "mmdet3d.core.points.base_points")
+    lp = _load("core/points/lidar_points.py",
+               "mmdet3d.core.points.lidar_points")
+    bp = sys.modules["mmdet3d.core.points.base_points"]
+    _mod("mmdet3d.core.points", LiDARPoints=lp.LiDARPoints,
+         BasePoints=bp.BasePoints,
+         get_points_type=lambda t: lp.LiDARPoints)
+    _trk_pipelines = _load("datasets/pipelines/tracklet_pipelines.py",
+                           "mmdet3d.datasets.pipelines.tracklet_pipelines")
+    return _trk_pipelines
+
+
 def load_occ_annotate():
     """Load the reference annotator (``tools/occ/occ_annotate.py``) on top of
     the stub tree — its ``point_cloud_to_range_image_idx`` and the
