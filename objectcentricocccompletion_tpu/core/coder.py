@@ -95,13 +95,17 @@ def canonical_yaw_target(rel_yaw: jax.Array) -> jax.Array:
 def encode_roi_targets(rois: jax.Array, gt: jax.Array) -> jax.Array:
     """Regression targets for GT boxes w.r.t. RoI boxes, both [..., 7].
 
-    Canonical transform: GT center into the RoI's local (yaw-aligned,
-    bottom-center-origin) frame; GT yaw relative + flip-canonicalized; then
-    delta-encode against a zero-centered, zero-yaw anchor with RoI sizes.
+    Canonical transform: GT center into the RoI's local frame rotated by
+    -(roi_yaw + pi/2) — the reference's exact parametrization
+    (``ococc_bbox_head.py:1221-1224``, executed-pinned by
+    tests/test_occ_target_parity.py); GT yaw relative +
+    flip-canonicalized; then delta-encode against a zero-centered,
+    zero-yaw anchor with RoI sizes.
     """
     roi_yaw = jnp.mod(rois[..., 6], 2 * jnp.pi)
     rel_ctr = box_ops.rotate_z(
-        (gt[..., 0:3] - rois[..., 0:3])[..., None, :], -roi_yaw[..., None]
+        (gt[..., 0:3] - rois[..., 0:3])[..., None, :],
+        -(roi_yaw[..., None] + jnp.pi / 2)
     )[..., 0, :]
     rel_yaw = canonical_yaw_target(gt[..., 6] - roi_yaw)
     gt_ct = jnp.concatenate(
@@ -121,7 +125,8 @@ def decode_from_rois(rois: jax.Array, deltas: jax.Array) -> jax.Array:
          jnp.zeros_like(rois[..., 6:7])], axis=-1
     )
     local = decode(anchor, deltas)
-    ctr = box_ops.rotate_z(local[..., None, 0:3], rois[..., None, 6])[..., 0, :]
+    ctr = box_ops.rotate_z(local[..., None, 0:3],
+                           rois[..., None, 6] + jnp.pi / 2)[..., 0, :]
     ctr = ctr + rois[..., 0:3]
     yaw = local[..., 6:7] + rois[..., 6:7]
     return jnp.concatenate([ctr, local[..., 3:6], yaw], axis=-1)

@@ -349,6 +349,33 @@ def load_occ_pipelines():
 
 
 _trk_pipelines = None
+_bbox_heads = None
+
+
+def load_bbox_heads():
+    """Load the reference RoI bbox heads (``fsd_bbox_head.py`` +
+    ``ococc_bbox_head.py``) — their target-generation methods
+    (canonical box targets, GT-frame -> RoI-frame occ transform,
+    soft labels) are pure torch and executable on a bare instance."""
+    global _bbox_heads
+    if _bbox_heads is not None:
+        return _bbox_heads
+    load_reference()
+    b = sys.modules["mmdet3d.models.builder"]
+    b.build_head = lambda cfg: None
+    b.build_backbone = lambda cfg: None
+    _pkg("mmdet3d.models.roi_heads")
+    _pkg("mmdet3d.models.roi_heads.bbox_heads")
+    fsd_head = _load(
+        "models/roi_heads/bbox_heads/fsd_bbox_head.py",
+        "mmdet3d.models.roi_heads.bbox_heads.fsd_bbox_head")
+    sys.modules["mmdet3d.models.roi_heads.bbox_heads"].FullySparseBboxHead \
+        = fsd_head.FullySparseBboxHead
+    occ_head = _load(
+        "models/roi_heads/bbox_heads/ococc_bbox_head.py",
+        "mmdet3d.models.roi_heads.bbox_heads.ococc_bbox_head")
+    _bbox_heads = {"fsd_bbox_head": fsd_head, "ococc_bbox_head": occ_head}
+    return _bbox_heads
 
 
 def load_tracklet_pipelines():

@@ -79,10 +79,11 @@ def test_encode_roi_targets_golden():
     # GT: ego offset (+1, 0, 0), same size, yaw = pi/2 + 0.3
     gt = jnp.asarray([11.0, 2.0, 0.0, 2.0, 4.0, 1.5, PI / 2 + 0.3])
     t = np.asarray(coder.encode_roi_targets(roi, gt))
-    # rel_ctr = rotate_z((1,0,0), -pi/2) = (cos(-pi/2), -sin(-pi/2)) = (0, 1)
-    # diag = sqrt(w^2 + l^2) = sqrt(20); xt = 0, yt = 1/sqrt(20)
-    # zt = 0 (same z + h), log-size deltas 0, yaw target 0.3
-    expect = [0.0, 1.0 / np.sqrt(20.0), 0.0, 0.0, 0.0, 0.0, 0.3]
+    # reference parametrization (executed-pinned in
+    # test_occ_target_parity.py): rel_ctr rotated by -(roi_yaw + pi/2) =
+    # -pi: (1, 0) -> (-1, 0); diag = sqrt(w^2 + l^2) = sqrt(20);
+    # xt = -1/sqrt(20), yt = 0; zt = 0, log-size deltas 0, yaw target 0.3
+    expect = [-1.0 / np.sqrt(20.0), 0.0, 0.0, 0.0, 0.0, 0.0, 0.3]
     np.testing.assert_allclose(t, expect, atol=1e-5)
 
     # opposite-heading GT must produce the SAME canonical target
