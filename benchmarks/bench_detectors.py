@@ -110,7 +110,13 @@ def main():
     elif family in ("fsd", "fsd2"):
         from objectcentricocccompletion_tpu.models.fsd import (
             FSD, FSDConfig, fsd_loss)
-        cfg = FSDConfig()
+        import dataclasses
+        # FSD bf16 measured FLAT (427.4 vs 425.7 ms f32, round 4): the step
+        # is gather/cluster-bound, not GEMM-bound — default stays f32;
+        # BENCH_DTYPE=bfloat16 to re-probe
+        cfg = dataclasses.replace(
+            FSDConfig(),
+            compute_dtype=os.environ.get("BENCH_DTYPE", "float32"))
         args = synth_frame(cfg.max_points, cfg.pc_range)
         if family == "fsd":
             model = FSD(cfg)

@@ -102,6 +102,11 @@ class FSDConfig:
     size_weight: float = 0.5
     rot_weight: float = 0.2
 
+    # computation dtype for the VFE/UNet/SIR/head compute path (params,
+    # LayerNorm statistics, losses and box decode stay float32; the
+    # reference trains fp16 via mmcv — bfloat16 needs no loss scaling)
+    compute_dtype: str = "float32"
+
     # True = FSD (per-class connected-component clusters); False = FSDv2
     # virtual voxels (single_stage_fsd_v2.py:37)
     use_clustering: bool = True
@@ -152,6 +157,7 @@ class SparseUNet(nn.Module):
     stride-2 downsamples, nearest-parent upsampling + skip concat."""
     channels: Sequence[int] = (64, 64, 128)
     max_voxels: int = 40000
+    dtype: str = "float32"
 
     @nn.compact
     def __call__(self, feats, coords, valid, grid_shape):
@@ -159,7 +165,8 @@ class SparseUNet(nn.Module):
         grid = sc.build_grid(coords, valid, grid_shape)
         offs = sc.kernel_offsets(3)
         from .layers import LN_EPS
-        x = feats
+        dt = jnp.dtype(self.dtype)
+        x = feats.astype(dt)
         for i, c in enumerate(self.channels):
             if i > 0:
                 out_coords, out_valid, ogs = sc.downsample_coords(
@@ -169,15 +176,15 @@ class SparseUNet(nn.Module):
                     sc.strided_conv_offsets(3, 1), stride=2)
                 w = self.param(f"down{i}", nn.initializers.he_normal(),
                                (27, x.shape[-1], c))
-                x = sc.sparse_conv_apply(x, s_table, w, out_valid)
-                x = nn.relu(nn.LayerNorm(epsilon=LN_EPS,
-                                         name=f"down{i}_norm")(x))
+                x = sc.sparse_conv_apply(x, s_table, w.astype(dt), out_valid)
+                from .layers import make_ln
+                x = nn.relu(make_ln(f"down{i}_norm")(x)).astype(dt)
                 coords, valid = out_coords, out_valid
                 grid = sc.build_grid(coords, valid, ogs)
             table = sc.neighbor_table(grid, coords, valid, offs)
             ctx = GatherCtx(table, valid)
-            x = SubMConv(c, name=f"enc{i}_conv")(x, ctx)
-            x = SparseBasicBlock(c, name=f"enc{i}_block")(x, ctx)
+            x = SubMConv(c, dtype=dt, name=f"enc{i}_conv")(x, ctx)
+            x = SparseBasicBlock(c, dtype=dt, name=f"enc{i}_block")(x, ctx)
             levels.append((x, coords, valid, grid))
 
         # decoder: coarse -> fine with nearest-parent gather + skip concat
@@ -190,7 +197,7 @@ class SparseUNet(nn.Module):
                            x[jnp.clip(idx, 0, x.shape[0] - 1)], 0.0)
             x = jnp.concatenate([fx, up], -1)
             table = sc.neighbor_table(fgrid, fcoords, fvalid, offs)
-            x = SubMConv(self.channels[i], name=f"dec{i}_conv")(
+            x = SubMConv(self.channels[i], dtype=dt, name=f"dec{i}_conv")(
                 x, GatherCtx(table, fvalid))
             coords, valid, grid = fcoords, fvalid, fgrid
         return x  # per-finest-voxel features
@@ -207,6 +214,7 @@ class SegmentSIR(nn.Module):
     xyz_normalizer: Tuple[float, float, float] = (20.0, 20.0, 4.0)
     rel_dist_scaler: float = 10.0
     act: str = "gelu"
+    dtype: str = "float32"
 
     @nn.compact
     def __call__(self, xyz, feats, f_cluster, seg, valid, num_segments):
@@ -215,9 +223,11 @@ class SegmentSIR(nn.Module):
         returns (point_feats [N, C1], cluster_feats [C, 2*C1*num_blocks])."""
         from ..ops.masked import segment_max
         from .layers import VfeLayer
+        dt = jnp.dtype(self.dtype)
         norm = jnp.asarray(self.xyz_normalizer, xyz.dtype)
-        xyz_n = xyz / norm
-        f_rel = f_cluster / self.rel_dist_scaler
+        xyz_n = (xyz / norm).astype(dt)
+        f_rel = (f_cluster / self.rel_dist_scaler).astype(dt)
+        feats = feats.astype(dt)
         seg_safe = jnp.where(valid, seg, num_segments)
         C1 = self.feat_channels[0]
 
@@ -226,16 +236,18 @@ class SegmentSIR(nn.Module):
         for i in range(self.num_blocks):
             xin = jnp.concatenate([xyz_n, h], -1)
             gate = Mlp(tuple(self.rel_mlp_hidden) + (xin.shape[-1],),
-                       act=self.act, name=f"block_{i}_rel_mlp")(f_rel)
+                       act=self.act, dtype=dt,
+                       name=f"block_{i}_rel_mlp")(f_rel)
             x = xin * gate
-            x = VfeLayer(C1, act=self.act, name=f"block_{i}_vfe_0")(x)
+            x = VfeLayer(C1, act=self.act, dtype=dt,
+                         name=f"block_{i}_vfe_0")(x)
             g1 = segment_max(jnp.where(valid[:, None], x, -1e30),
                              seg_safe, num_segments + 1)[:num_segments]
             x = jnp.concatenate(
                 [x, jnp.where(valid[:, None],
                               g1[jnp.clip(seg, 0, num_segments - 1)], 0.0)],
                 -1)
-            x = VfeLayer(self.feat_channels[1], act=self.act,
+            x = VfeLayer(self.feat_channels[1], act=self.act, dtype=dt,
                          name=f"block_{i}_vfe_1")(x)
             g2 = segment_max(jnp.where(valid[:, None], x, -1e30),
                              seg_safe, num_segments + 1)[:num_segments]
@@ -253,26 +265,29 @@ class SparseClusterHead(nn.Module):
     hidden: int = 128
     layers: int = 2
     act: str = "relu"
+    dtype: str = "float32"
 
     @nn.compact
     def __call__(self, feats, train: bool = False):
-        x = Mlp(self.shared_mlp, act=self.act, name="shared")(feats,
-                                                              train=train)
+        dt = jnp.dtype(self.dtype)
+        x = Mlp(self.shared_mlp, act=self.act, dtype=dt,
+                name="shared")(feats, train=train)
         cls_list, reg_list = [], []
         hid = (self.hidden,) * self.layers
         for t in range(self.num_tasks):
-            score = Mlp(hid + (1,), is_head=True, act=self.act,
+            score = Mlp(hid + (1,), is_head=True, act=self.act, dtype=dt,
                         name=f"task{t}_score")(x, train=train)
-            center = Mlp(hid + (3,), is_head=True, act=self.act,
+            center = Mlp(hid + (3,), is_head=True, act=self.act, dtype=dt,
                          name=f"task{t}_center")(x, train=train)
-            dim = Mlp(hid + (3,), is_head=True, act=self.act,
+            dim = Mlp(hid + (3,), is_head=True, act=self.act, dtype=dt,
                       name=f"task{t}_dim")(x, train=train)
-            rot = Mlp(hid + (2,), is_head=True, act=self.act,
+            rot = Mlp(hid + (2,), is_head=True, act=self.act, dtype=dt,
                       name=f"task{t}_rot")(x, train=train)
             cls_list.append(score)
             reg_list.append(jnp.concatenate([center, dim, rot], -1))
-        return (jnp.concatenate(cls_list, -1),        # [C, T]
-                jnp.stack(reg_list, -2))              # [C, T, 8]
+        # logits/regressions leave in f32: losses and box decode stay f32
+        return (jnp.concatenate(cls_list, -1).astype(jnp.float32),  # [C, T]
+                jnp.stack(reg_list, -2).astype(jnp.float32))        # [C,T,8]
 
 
 class FSD(nn.Module):
@@ -281,24 +296,30 @@ class FSD(nn.Module):
     def setup(self):
         c = self.cfg
         ncls = c.num_classes
+        dt = c.compute_dtype
         self.vfe = DynamicVFE(feat_channels=c.vfe_channels,
-                              voxel_size=c.voxel_size, pc_range=c.pc_range)
-        self.unet = SparseUNet(c.unet_channels, c.max_voxels)
+                              voxel_size=c.voxel_size, pc_range=c.pc_range,
+                              dtype=dt)
+        self.unet = SparseUNet(c.unet_channels, c.max_voxels, dtype=dt)
         # VoteSegHead: per-class logits + per-class 3-d vote offsets
         self.seg_head = Mlp(tuple(c.seg_head_hidden) + (ncls + ncls * 3,),
-                            is_head=True, act="gelu")
+                            is_head=True, act="gelu", dtype=jnp.dtype(dt))
         self.sir = SegmentSIR(
             num_blocks=c.sir_blocks, feat_channels=c.sir_channels,
-            rel_mlp_hidden=c.rel_mlp_hidden, xyz_normalizer=c.xyz_normalizer)
+            rel_mlp_hidden=c.rel_mlp_hidden, xyz_normalizer=c.xyz_normalizer,
+            dtype=dt)
         self.head = SparseClusterHead(
             num_tasks=ncls, shared_mlp=c.shared_mlp, hidden=c.head_hidden,
-            layers=c.head_layers)
+            layers=c.head_layers, dtype=dt)
         if not c.use_clustering:
             self.virtual_proj = Mlp(tuple(c.virtual_proj_hidden),
-                                    act="gelu")
-            self.ori_proj = Mlp(tuple(c.virtual_proj_hidden), act="gelu")
-            self.mixer1 = SubMConv(c.virtual_mixer_channels, name="mixer1")
-            self.mixer2 = SubMConv(c.virtual_mixer_channels, name="mixer2")
+                                    act="gelu", dtype=jnp.dtype(dt))
+            self.ori_proj = Mlp(tuple(c.virtual_proj_hidden), act="gelu",
+                                dtype=jnp.dtype(dt))
+            self.mixer1 = SubMConv(c.virtual_mixer_channels,
+                                   dtype=jnp.dtype(dt), name="mixer1")
+            self.mixer2 = SubMConv(c.virtual_mixer_channels,
+                                   dtype=jnp.dtype(dt), name="mixer2")
 
     def segment(self, points, mask):
         """Stage 1: per-point fg logits [N, ncls] + votes [N, ncls, 3]."""
@@ -310,7 +331,7 @@ class FSD(nn.Module):
         vout = self.unet(vfeat, vres.coords, vres.voxel_valid, c.grid_shape)
         per_point = jnp.concatenate(
             [pfeat, vx.gather_from_voxels(vout, vres.point2voxel)], -1)
-        out = self.seg_head(per_point)
+        out = self.seg_head(per_point).astype(jnp.float32)
         seg_logits = out[:, :ncls]
         votes = out[:, ncls:].reshape(-1, ncls, 3)
         return seg_logits, votes, vres.point_valid, per_point

@@ -45,15 +45,16 @@ class TwoStageFSD(nn.Module):
     def setup(self):
         c = self.cfg
         self.stage1 = FSD(c.fsd)
+        dt = jnp.dtype(c.fsd.compute_dtype)
         self.roi_encoder = SIREncoder(
             num_blocks=c.num_blocks, feat_channels=c.feat_channels,
             rel_mlp_hidden=(8, 16), xyz_normalizer=(20.0, 20.0, 4.0),
-            geo_input=True, act="gelu")
+            geo_input=True, act="gelu", dtype=dt)
         d = c.num_blocks * 2 * c.feat_channels[-1]
         self.conv_cls = Mlp(tuple(c.head_mlp) + (1,), is_head=True,
-                            act="gelu")
+                            act="gelu", dtype=dt)
         self.conv_reg = Mlp(tuple(c.head_mlp) + (coder.CODE_SIZE,),
-                            is_head=True, act="gelu")
+                            is_head=True, act="gelu", dtype=dt)
 
     def __call__(self, points, mask):
         c = self.cfg
@@ -90,8 +91,9 @@ class TwoStageFSD(nn.Module):
         nonempty = jnp.any(pmask, -1) & roi_valid
         feats = jnp.where(nonempty[:, None], feats, 0.0)
 
-        cls2 = self.conv_cls(feats)[..., 0]
-        reg2 = self.conv_reg(feats)
+        # stage-2 logits/regressions in f32 (losses + decode stay f32)
+        cls2 = self.conv_cls(feats)[..., 0].astype(jnp.float32)
+        reg2 = self.conv_reg(feats).astype(jnp.float32)
         refined = coder.decode_from_rois(rois, reg2)
         return dict(out1, cls2=cls2, bbox2=reg2, refined_boxes=refined,
                     roi_nonempty=nonempty, rois=rois)

@@ -308,3 +308,71 @@ def test_two_stage_corner_loss_car_only():
     out_nc = dict(out, cluster_class=jnp.ones_like(out["cluster_class"]))
     nc = two_stage_loss(out_nc, points, boxes, labels, valid)
     assert float(nc["loss_corner2"]) == 0.0
+
+
+def test_fsd_bf16_compute_close_to_f32():
+    """bfloat16 compute (params/LN stats/losses stay f32) must track the
+    f32 losses closely on the tiny config — the FSD mixed-precision path
+    mirrors the SST one (the reference's mmcv fp16 recipe)."""
+    import dataclasses
+
+    import jax
+
+    cfg32 = tiny_fsd_config()
+    cfg16 = dataclasses.replace(cfg32, compute_dtype="bfloat16")
+    rng = np.random.RandomState(0)
+    n = 512
+    points = rng.uniform(-9, 9, (n, 5)).astype(np.float32)
+    points[:, 2] = rng.uniform(-1.5, 2.0, n)
+    mask = np.arange(n) < 400
+    boxes = np.array([[1.0, 2.0, -0.5, 2.0, 4.5, 1.7, 0.3],
+                      [-3.0, -2.0, -0.2, 0.8, 0.8, 1.7, 0.0]], np.float32)
+    labels = np.array([0, 1], np.int32)
+    valid = np.ones((2,), bool)
+
+    m32, m16 = FSD(cfg32), FSD(cfg16)
+    p32 = m32.init(jax.random.PRNGKey(0), points, mask)["params"]
+    for leaf in jax.tree_util.tree_leaves(p32):
+        assert leaf.dtype == np.float32
+    o32 = m32.apply({"params": p32}, points, mask)
+    o16 = m16.apply({"params": p32}, points, mask)
+    l32 = fsd_loss(o32, points, boxes, labels, valid, cfg32)
+    l16 = fsd_loss(o16, points, boxes, labels, valid, cfg16)
+    for k in l32:
+        a, b = float(l32[k]), float(l16[k])
+        assert np.isfinite(b), (k, b)
+        assert abs(a - b) <= 0.05 * max(abs(a), 1e-3) + 2e-2, (k, a, b)
+
+
+def test_two_stage_fsd_bf16_close_to_f32():
+    import dataclasses
+
+    import jax
+
+    from objectcentricocccompletion_tpu.models.fsd_two_stage import (
+        TwoStageFSD, tiny_two_stage_config, two_stage_loss)
+
+    cfg32 = tiny_two_stage_config()
+    cfg16 = dataclasses.replace(cfg32, fsd=dataclasses.replace(
+        cfg32.fsd, compute_dtype="bfloat16"))
+    rng = np.random.RandomState(1)
+    n = 512
+    points = rng.uniform(-9, 9, (n, 5)).astype(np.float32)
+    points[:, 2] = rng.uniform(-1.5, 2.0, n)
+    mask = np.arange(n) < 400
+    boxes = np.array([[1.0, 2.0, -0.5, 2.0, 4.5, 1.7, 0.3]], np.float32)
+    labels = np.array([0], np.int32)
+    valid = np.ones((1,), bool)
+
+    m32, m16 = TwoStageFSD(cfg32), TwoStageFSD(cfg16)
+    p32 = m32.init(jax.random.PRNGKey(0), points, mask)["params"]
+    o32 = m32.apply({"params": p32}, points, mask)
+    o16 = m16.apply({"params": p32}, points, mask)
+    import jax.numpy as jnp
+    jb, jl, jv = jnp.asarray(boxes), jnp.asarray(labels), jnp.asarray(valid)
+    l32 = two_stage_loss(o32, jnp.asarray(points), jb, jl, jv)
+    l16 = two_stage_loss(o16, jnp.asarray(points), jb, jl, jv)
+    for k in l32:
+        a, b = float(l32[k]), float(l16[k])
+        assert np.isfinite(b), (k, b)
+        assert abs(a - b) <= 0.05 * max(abs(a), 1e-3) + 2e-2, (k, a, b)
