@@ -350,6 +350,30 @@ def load_occ_pipelines():
 
 _trk_pipelines = None
 _bbox_heads = None
+_voxel_encoder = None
+
+
+def load_voxel_encoder():
+    """Load the reference voxel encoders (``voxel_encoder.py`` —
+    SIRLayer/DynamicVFE): pure torch once DynamicScatter/spconv are
+    stubbed (SIRLayer nulls its scatter objects right after init)."""
+    global _voxel_encoder
+    if _voxel_encoder is not None:
+        return _voxel_encoder
+    load_reference()
+    ops = sys.modules["mmdet3d.ops"]
+
+    class _DynamicScatter:
+        def __init__(self, *a, **k):
+            pass
+
+    ops.DynamicScatter = _DynamicScatter
+    ops.make_sparse_convmodule = None
+    ops.spconv = sys.modules["mmdet3d.ops.spconv"]
+    _mod("mmdet3d.models.builder", VOXEL_ENCODERS=_Registry())
+    _voxel_encoder = _load("models/voxel_encoders/voxel_encoder.py",
+                           "mmdet3d.models.voxel_encoders.voxel_encoder")
+    return _voxel_encoder
 
 
 def load_bbox_heads():
