@@ -373,7 +373,35 @@ def load_voxel_encoder():
     _mod("mmdet3d.models.builder", VOXEL_ENCODERS=_Registry())
     _voxel_encoder = _load("models/voxel_encoders/voxel_encoder.py",
                            "mmdet3d.models.voxel_encoders.voxel_encoder")
+    # registry-free voxel-encoder builder so SIR/OccBBoxHead block lists
+    # construct the REAL SIRLayer from their kwargs dicts
+    ve = _voxel_encoder
+
+    def _build_voxel_encoder(cfg):
+        cfg = dict(cfg)
+        kind = cfg.pop("type")
+        return getattr(ve, kind)(**cfg)
+
+    sys.modules["mmdet3d.models.builder"].build_voxel_encoder = \
+        _build_voxel_encoder
     return _voxel_encoder
+
+
+_sir_backbone = None
+
+
+def load_sir_backbone():
+    """Load the reference ``SIR`` backbone (``models/backbones/sir.py``) —
+    the AE encoder's block stack — on top of the voxel-encoder stubs."""
+    global _sir_backbone
+    if _sir_backbone is not None:
+        return _sir_backbone
+    load_voxel_encoder()
+    sys.modules["mmdet.models"].BACKBONES = _Registry()
+    _pkg("mmdet3d.models.backbones")
+    _sir_backbone = _load("models/backbones/sir.py",
+                          "mmdet3d.models.backbones.sir")
+    return _sir_backbone
 
 
 def load_bbox_heads():

@@ -232,6 +232,225 @@ def test_transformer_stack_transplant(refs):
     np.testing.assert_allclose(got, ref, atol=5e-5, rtol=1e-4)
 
 
+# ------------------------------------------------------------------- SIR
+def _sir_block_params(ref_block):
+    """torch SIRLayer weights -> flax SIRBlock params."""
+    rp = {}
+    for i, seq in enumerate(ref_block.rel_mlp):
+        rp[f"Dense_{i}"] = {"kernel": _t2j(seq[0].weight).T}
+        rp[f"LayerNorm_{i}"] = _ln(seq[1])
+    p = {"rel_mlp": rp}
+    for i, vfe in enumerate(ref_block.vfe_layers):
+        p[f"vfe_{i}"] = {"Dense_0": {"kernel": _t2j(vfe.linear.weight).T},
+                         "LayerNorm_0": _ln(vfe.norm)}
+    return p
+
+
+def _dense_groups(rng, counts, width_fns):
+    """Build flat arrays grouped by roi id + their dense [G, P, .] images."""
+    G, P, N = len(counts), max(counts), sum(counts)
+    roi_inds = np.repeat(np.arange(G), counts)
+    flats, denses = [], []
+    for w in width_fns:
+        f = rng.standard_normal((N, w)).astype(np.float32)
+        d = np.zeros((G, P, w), np.float32)
+        off = 0
+        for g, c in enumerate(counts):
+            d[g, :c] = f[off:off + c]
+            off += c
+        flats.append(f)
+        denses.append(d)
+    mask = np.zeros((G, P), bool)
+    for g, c in enumerate(counts):
+        mask[g, :c] = True
+    return roi_inds, mask, flats, denses
+
+
+def test_sir_layer_transplant(refs):
+    """One reference SIRLayer (``voxel_encoder.py:686-832``) executed with
+    the RoI-encoder construction (LN eps 1e-3, gelu, rel_dist_scaler=10,
+    xyz_normalizer=[20,20,4], mode=max) vs ``models/sir.SIRBlock`` in the
+    dense-masked layout. Pins: xyz normalization inside the block, the
+    multiplicative rel_mlp gate over the FULL input (incl. the appended
+    f_cluster/10 geo channels), the 2-layer VFE chain with broadcast-back
+    concat after layer 1, and the concat of both layers' maxes."""
+    from refstub import load_voxel_encoder
+    from objectcentricocccompletion_tpu.models.sir import SIRBlock
+    ve = load_voxel_encoder()
+
+    torch.manual_seed(3)
+    F0 = 5
+    in_ch = 3 + F0 + 13
+    block = ve.SIRLayer(
+        in_channels=in_ch, feat_channels=[32, 48], with_distance=False,
+        with_cluster_center=False, with_rel_mlp=True,
+        rel_mlp_hidden_dims=[8, 16], rel_mlp_in_channel=13,
+        with_voxel_center=False, norm_cfg=dict(type="LN", eps=1e-3),
+        mode="max", return_point_feats=True, return_inv=False,
+        rel_dist_scaler=10.0, xyz_normalizer=[20, 20, 4], act="gelu",
+        dropout=0.0).eval()
+
+    rng = np.random.default_rng(7)
+    counts = [7, 1, 5, 3]
+    roi_inds, mask, (xyz, feats, f_cl), (dxyz, dfeats, df_cl) = \
+        _dense_groups(rng, counts, [3, F0, 13])
+    xyz, dxyz = xyz * 10, dxyz * 10
+
+    in_flat = np.concatenate([xyz, feats, f_cl / 10], -1)
+    with torch.no_grad():
+        pt_ref, vox_ref = block(
+            torch.from_numpy(in_flat), torch.from_numpy(roi_inds),
+            torch.from_numpy(f_cl))
+    pt_ref, vox_ref = pt_ref.numpy(), vox_ref.numpy()
+
+    norm = np.asarray([20.0, 20.0, 4.0], np.float32)
+    in_dense = np.concatenate([dxyz / norm, dfeats, df_cl / 10], -1)
+    m = SIRBlock(feat_channels=(32, 48), rel_mlp_hidden=(8, 16), act="gelu")
+    pt, cl = m.apply({"params": _sir_block_params(block)},
+                     jnp.asarray(in_dense), jnp.asarray(df_cl / 10),
+                     jnp.asarray(mask))
+    pt, cl = np.asarray(pt), np.asarray(cl)
+
+    np.testing.assert_allclose(cl, vox_ref, atol=2e-5, rtol=1e-5)
+    off = 0
+    for g, c in enumerate(counts):
+        np.testing.assert_allclose(pt[g, :c], pt_ref[off:off + c],
+                                   atol=2e-5, rtol=1e-5)
+        off += c
+
+
+def test_roi_encode_stack_transplant(refs):
+    """The reference ``OccBBoxHead.roi_encode`` (``ococc_bbox_head.py:
+    237-316``) executed over 3 real SIRLayers vs ``SIREncoder(geo_input=
+    True)``. Pins the chaining: in_feats rebuilt each block from the RAW
+    xyz + last point feats + f_cluster/10, per-block cluster concat order,
+    and the out_coors alignment back to roi order. (The reference config's
+    growing rel-MLP widths come from list aliasing in ``[[16,32]]*6``; the
+    blocks here get fresh lists, matching our per-block design.)"""
+    from refstub import load_bbox_heads, load_voxel_encoder
+    from objectcentricocccompletion_tpu.models.sir import SIREncoder
+    ve = load_voxel_encoder()
+    heads = load_bbox_heads()
+
+    torch.manual_seed(5)
+    F0, FC = 6, (16, 32)
+    NB = 3
+    in_chs = [3 + F0 + 13] + [3 + FC[-1] + 13] * (NB - 1)
+    blocks = []
+    for i in range(NB):
+        blocks.append(ve.SIRLayer(
+            in_channels=in_chs[i], feat_channels=list(FC),
+            with_distance=False, with_cluster_center=False,
+            with_rel_mlp=True, rel_mlp_hidden_dims=[8, 16],
+            rel_mlp_in_channel=13, with_voxel_center=False,
+            norm_cfg=dict(type="LN", eps=1e-3), mode="max",
+            return_point_feats=(i != NB - 1), return_inv=False,
+            rel_dist_scaler=10.0, xyz_normalizer=[20, 20, 4], act="gelu",
+            dropout=0.0))
+
+    H = heads["ococc_bbox_head"].OccBBoxHead
+    h = H.__new__(H)
+    torch.nn.Module.__init__(h)
+    h.geo_input = True
+    h.unique_once = True
+    h.num_blocks = NB
+    h.block_list = torch.nn.ModuleList(blocks)
+    h.eval()
+
+    rng = np.random.default_rng(11)
+    counts = [4, 9, 2, 6]
+    G = len(counts)
+    roi_inds, mask, (xyz, feats, loc, bnd, mrg), \
+        (dxyz, dfeats, dloc, dbnd, dmrg) = \
+        _dense_groups(rng, counts, [3, F0, 3, 6, 1])
+    xyz, dxyz = xyz * 10, dxyz * 10
+    boxes = np.zeros((G, 7), np.float32)
+    boxes[:, :3] = rng.uniform(-10, 10, (G, 3))
+    boxes[:, 3:6] = rng.uniform(1.5, 5, (G, 3))
+    boxes[:, 6] = rng.uniform(-np.pi, np.pi, G)
+    rois = np.concatenate([np.zeros((G, 1), np.float32), boxes], -1)
+
+    pts_info = {"local_xyz": torch.from_numpy(loc),
+                "boundary_offset": torch.from_numpy(bnd),
+                "is_in_margin": torch.from_numpy(mrg[:, 0])}
+    with torch.no_grad():
+        ref_feats, nonempty, out_coors = h.roi_encode(
+            torch.from_numpy(xyz), torch.from_numpy(feats), pts_info,
+            torch.from_numpy(roi_inds), torch.from_numpy(rois))
+    assert bool(nonempty.all())
+    np.testing.assert_array_equal(out_coors.numpy(), np.arange(G))
+
+    rel_xyz = xyz - boxes[roi_inds, :3]
+    f_cl = np.concatenate([loc, bnd, mrg, rel_xyz], -1)
+    df_cl = np.zeros((G, mask.shape[1], 13), np.float32)
+    off = 0
+    for g, c in enumerate(counts):
+        df_cl[g, :c] = f_cl[off:off + c]
+        off += c
+
+    params = {f"block_{i}": _sir_block_params(blocks[i]) for i in range(NB)}
+    m = SIREncoder(num_blocks=NB, feat_channels=FC, rel_mlp_hidden=(8, 16),
+                   xyz_normalizer=(20.0, 20.0, 4.0), rel_dist_scaler=10.0,
+                   geo_input=True, act="gelu")
+    _, roi_feats = m.apply({"params": params}, jnp.asarray(dxyz),
+                           jnp.asarray(dfeats), jnp.asarray(mask),
+                           jnp.asarray(df_cl))
+    np.testing.assert_allclose(np.asarray(roi_feats), ref_feats.numpy(),
+                               atol=5e-5, rtol=1e-4)
+
+
+def test_sir_backbone_transplant(refs):
+    """The reference AE ``SIR`` backbone (``models/backbones/sir.py:16-87``)
+    executed end-to-end vs ``SIREncoder(geo_input=False)``. Pins the AE
+    wiring: f_cluster computed from the per-group MEAN inside the first
+    block (scatter avg), xyz_normalizer=[1,1,1], and the residual shortcut
+    on width-matching blocks (``voxel_encoder.py:819-827``)."""
+    from refstub import load_sir_backbone
+    from objectcentricocccompletion_tpu.models.sir import SIREncoder
+    sirmod = load_sir_backbone()
+
+    torch.manual_seed(9)
+    F0, FC = 5, (16, 32)
+    NB = 3
+    net = sirmod.SIR(
+        num_blocks=NB, in_channels=[3 + F0] + [3 + FC[-1]] * (NB - 1),
+        feat_channels=[list(FC) for _ in range(NB)],
+        rel_mlp_hidden_dims=[[8, 16] for _ in range(NB)],
+        with_rel_mlp=True, with_distance=False, with_cluster_center=False,
+        norm_cfg=dict(type="LN", eps=1e-3), mode="max",
+        xyz_normalizer=[1, 1, 1], act="gelu", dropout=0,
+        unique_once=True).eval()
+
+    rng = np.random.default_rng(13)
+    counts = [6, 3, 8]
+    roi_inds, mask, (xyz, feats), (dxyz, dfeats) = \
+        _dense_groups(rng, counts, [3, F0])
+    xyz, dxyz = xyz * 2, dxyz * 2
+
+    with torch.no_grad():
+        pt_ref, cl_ref, out_coors = net(
+            torch.from_numpy(xyz), torch.from_numpy(feats),
+            torch.from_numpy(roi_inds))
+    np.testing.assert_array_equal(out_coors.numpy(),
+                                  np.arange(len(counts)))
+
+    params = {f"block_{i}": _sir_block_params(net.block_list[i])
+              for i in range(NB)}
+    m = SIREncoder(num_blocks=NB, feat_channels=FC, rel_mlp_hidden=(8, 16),
+                   xyz_normalizer=(1.0, 1.0, 1.0), rel_dist_scaler=10.0,
+                   geo_input=False, with_shortcut=True, act="gelu")
+    pt, cl = m.apply({"params": params}, jnp.asarray(dxyz),
+                     jnp.asarray(dfeats), jnp.asarray(mask))
+    pt, cl = np.asarray(pt), np.asarray(cl)
+
+    np.testing.assert_allclose(cl, cl_ref.numpy(), atol=5e-5, rtol=1e-4)
+    off = 0
+    for g, c in enumerate(counts):
+        np.testing.assert_allclose(pt[g, :c], pt_ref.numpy()[off:off + c],
+                                   atol=5e-5, rtol=1e-4)
+        off += c
+
+
 # ------------------------------------------------- SST window encoder layer
 def test_sst_encoder_layer_transplant(refs):
     """The reference SST EncoderLayer (torch nn.MultiheadAttention inside
