@@ -182,10 +182,17 @@ def load_reference():
         return _loaded
 
     # --- external stubs -------------------------------------------------
+    class _BaseModule(nn.Module):
+        """mmcv BaseModule: nn.Module accepting/holding init_cfg."""
+
+        def __init__(self, init_cfg=None):
+            super().__init__()
+            self.init_cfg = init_cfg
+
     _mod("torch_scatter", scatter=_scatter, scatter_max=_scatter_max)
     _pkg("mmcv", load=None, dump=None)
     _mod("mmcv.cnn", build_norm_layer=_build_norm_layer)
-    _mod("mmcv.runner", BaseModule=nn.Module,
+    _mod("mmcv.runner", BaseModule=_BaseModule,
          force_fp32=_identity_decorator, auto_fp16=_identity_decorator)
     _mod("mmcv.utils", print_log=lambda *a, **k: None)
     _mod("ipdb", set_trace=lambda *a, **k: None)
@@ -428,6 +435,48 @@ def load_bbox_heads():
         "mmdet3d.models.roi_heads.bbox_heads.ococc_bbox_head")
     _bbox_heads = {"fsd_bbox_head": fsd_head, "ococc_bbox_head": occ_head}
     return _bbox_heads
+
+
+_occ_ae_head = None
+
+
+def load_occ_ae_head():
+    """Load the reference ``OccAutoEncoder`` (``occ_ae_head.py``) with a
+    builder that constructs the REAL SIR backbone / SIRLayer blocks, and
+    point the ococc head's builders at the real classes so a full
+    ``OccBBoxHead`` can be constructed and executed."""
+    global _occ_ae_head
+    if _occ_ae_head is not None:
+        return _occ_ae_head
+    refs = load_reference()
+    heads = load_bbox_heads()
+    sirmod = load_sir_backbone()
+
+    b = sys.modules["mmdet3d.models.builder"]
+
+    def _build_backbone(cfg):
+        cfg = dict(cfg)
+        assert cfg.pop("type") == "SIR"
+        return sirmod.SIR(**cfg)
+
+    b.build_backbone = _build_backbone
+    b.build_loss = lambda cfg: None
+    _occ_ae_head = _load(
+        "models/roi_heads/bbox_heads/occ_ae_head.py",
+        "mmdet3d.models.roi_heads.bbox_heads.occ_ae_head")
+
+    def _build_head(cfg):
+        cfg = dict(cfg)
+        assert cfg.pop("type") == "OccAutoEncoder"
+        return _occ_ae_head.OccAutoEncoder(**cfg)
+
+    b.build_head = _build_head
+    # the ococc head binds these at import time — repoint to real builders
+    om = heads["ococc_bbox_head"]
+    om.build_bbox_coder = \
+        lambda cfg: refs["coder"].DeltaXYZWLHRBBoxCoder(code_size=7)
+    om.builder = b
+    return _occ_ae_head
 
 
 def load_tracklet_pipelines():

@@ -34,6 +34,55 @@ def test_flat_spec_roundtrip():
 
 
 def test_flat_opt_matches_tree_optimizer():
+    """Transform-level equivalence on IDENTICAL gradients.
+
+    (An earlier version compared two fully-jitted train steps; that is not
+    a well-posed bitwise test — the two programs fuse differently, and on
+    leaves with near-zero gradients Adam's m/sqrt(v) amplifies last-bit
+    forward/backward noise into O(1)-relative update differences. The
+    optimizer claim is "same transforms, different layout", so feed both
+    transforms the same grads and demand tight equality; gradients large
+    enough that clip_by_global_norm is ACTIVE, exercising the one genuine
+    difference — the global-norm reduction order.)"""
+    import optax
+
+    cfg = tiny_config()
+    batch = synthetic_batch(cfg, batch_size=2, seed=1)
+    _, state_t, tx_t, _ = create_train_state(
+        cfg, jax.random.PRNGKey(0), batch, total_steps=100)
+    _, state_f, tx_f, _ = create_train_state(
+        cfg, jax.random.PRNGKey(0), batch, total_steps=100, flat_opt=True)
+
+    spec = make_flat_opt_spec(state_t.params)
+    params_t = state_t.params
+    params_f = flatten_by_spec(spec, params_t)
+    opt_t, opt_f = state_t.opt_state, state_f.opt_state
+
+    leaves, treedef = jax.tree_util.tree_flatten(params_t)
+    key = jax.random.PRNGKey(3)
+    for _ in range(3):
+        key, k = jax.random.split(key)
+        ks = jax.random.split(k, len(leaves))
+        grads = treedef.unflatten(
+            [jax.random.normal(kk, l.shape, l.dtype)
+             for kk, l in zip(ks, leaves)])
+
+        up_t, opt_t = tx_t.update(grads, opt_t, params_t)
+        params_t = optax.apply_updates(params_t, up_t)
+        up_f, opt_f = tx_f.update(flatten_by_spec(spec, grads), opt_f,
+                                  params_f)
+        params_f = optax.apply_updates(params_f, up_f)
+
+    for a, b in zip(jax.tree_util.tree_leaves(
+            unflatten_by_spec(spec, params_f)),
+            jax.tree_util.tree_leaves(params_t)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=1e-8, rtol=1e-5)
+
+
+def test_flat_opt_step_loss_matches():
+    """End-to-end smoke: the flat-opt jitted train step reproduces the tree
+    step's loss/grad-norm (loose tolerance — separately compiled programs)."""
     cfg = tiny_config()
     mesh = make_mesh(jax.devices()[:1])
     batch = synthetic_batch(cfg, batch_size=2, seed=1)
@@ -45,14 +94,9 @@ def test_flat_opt_matches_tree_optimizer():
     step_f = make_train_step(model, tx_f, mesh, flat_opt=True)
     sbatch = shard_batch(batch, mesh)
     rng = jax.random.PRNGKey(1)
-    for i in range(3):
-        state_t, aux_t = step_t(state_t, sbatch, rng)
-        state_f, aux_f = step_f(state_f, sbatch, rng)
-        np.testing.assert_allclose(float(aux_f["loss"]),
-                                   float(aux_t["loss"]), rtol=1e-6)
-        np.testing.assert_allclose(float(aux_f["grad_norm"]),
-                                   float(aux_t["grad_norm"]), rtol=1e-5)
-    for a, b in zip(jax.tree_util.tree_leaves(state_f.params),
-                    jax.tree_util.tree_leaves(state_t.params)):
-        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
-                                   atol=1e-6, rtol=1e-5)
+    _, aux_t = step_t(state_t, sbatch, rng)
+    _, aux_f = step_f(state_f, sbatch, rng)
+    np.testing.assert_allclose(float(aux_f["loss"]), float(aux_t["loss"]),
+                               rtol=1e-5)
+    np.testing.assert_allclose(float(aux_f["grad_norm"]),
+                               float(aux_t["grad_norm"]), rtol=1e-4)

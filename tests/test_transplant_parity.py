@@ -451,6 +451,247 @@ def test_sir_backbone_transplant(refs):
         off += c
 
 
+# --------------------------------------------- full OccBBoxHead forward
+def _mlp_params(torch_mlp):
+    """reference ``build_mlp`` Sequential -> flax Mlp params (both
+    is_head and plain forms; head layers are bare Linears)."""
+    p = {}
+    for i, m in enumerate(torch_mlp):
+        if isinstance(m, torch.nn.Linear):
+            p[f"Dense_{i}"] = _lin(m)
+        else:
+            p[f"Dense_{i}"] = {"kernel": _t2j(m[0].weight).T}
+            p[f"LayerNorm_{i}"] = _ln(m[1])
+    return p
+
+
+def _encoder_layer_params(lyr):
+    D = lyr.norm1.weight.shape[0]
+    attn = lyr.self_attn
+    W = _t2j(attn.in_proj_weight)
+    bqkv = _t2j(attn.in_proj_bias)
+    return {
+        "self_attn": {
+            "q": {"kernel": W[:D].T, "bias": bqkv[:D]},
+            "k": {"kernel": W[D:2 * D].T, "bias": bqkv[D:2 * D]},
+            "v": {"kernel": W[2 * D:].T, "bias": bqkv[2 * D:]},
+            "out": _lin(attn.out_proj),
+        },
+        "norm1": _ln(lyr.norm1), "norm2": _ln(lyr.norm2),
+        "linear1": _lin(lyr.linear1), "linear2": _lin(lyr.linear2),
+    }
+
+
+def _absorb_geo_rotation(p, E, off):
+    """Absorb the kernel-frame local-coordinate rotation into a
+    transplanted SIR block: the reference's roi encoder consumes
+    ``local_xyz`` in the pooling kernel's frame, ours in the canonical
+    (pi/2-compensated) frame — a fixed signed permutation E
+    (``x_ref = x_ours @ E`` on the 3 local channels at input offset
+    ``off``). E moves into the first-layer kernels; the rel-MLP gate's
+    matching output channels permute unsigned (elementwise gating commutes
+    with signed permutations when the gate permutes without sign)."""
+    import numpy as _np
+    Eu = _np.abs(E)
+    rp = p["rel_mlp"]
+    k0 = _np.asarray(rp["Dense_0"]["kernel"]).copy()
+    k0[0:3] = E @ k0[0:3]                       # f_cluster local slice
+    rp["Dense_0"]["kernel"] = jnp.asarray(k0)
+    n = sum(1 for k in rp if k.startswith("Dense_"))
+    last = f"Dense_{n - 1}"
+    kl = _np.asarray(rp[last]["kernel"]).copy()
+    kl[:, off:off + 3] = kl[:, off:off + 3] @ Eu.T
+    rp[last]["kernel"] = jnp.asarray(kl)
+    ln = rp[f"LayerNorm_{n - 1}"]
+    for key in ("scale", "bias"):
+        v = _np.asarray(ln[key]).copy()
+        v[off:off + 3] = v[off:off + 3] @ Eu.T
+        ln[key] = jnp.asarray(v)
+    kv = _np.asarray(p["vfe_0"]["Dense_0"]["kernel"]).copy()
+    kv[off:off + 3] = E @ kv[off:off + 3]
+    p["vfe_0"]["Dense_0"]["kernel"] = jnp.asarray(kv)
+    return p
+
+
+def test_occ_bbox_head_full_forward_transplant(refs, monkeypatch):
+    """The ENTIRE reference ``OccBBoxHead.forward`` (``ococc_bbox_head.py:
+    318-403``) — real SIRLayer RoI encoder, real ``OccAutoEncoder.encode``
+    (incl. its internal pi/2 coordinate compensation and voxel-center
+    quantization), real temporal TransformerEncoder with frame + roi
+    positional encodings, latent fusion (``fused_mode='concat'``), and the
+    cls/reg heads — executed against OUR full ``OcOccNet.__call__`` with
+    transplanted weights. The pooled 13-d geometry is injected identically
+    on both sides (pool parity is pinned by its own tests); the only
+    representational difference, the roi encoder's kernel-frame local
+    coords, is absorbed into first-layer weights (see
+    ``_absorb_geo_rotation``)."""
+    import dataclasses
+
+    from refstub import load_occ_ae_head, load_bbox_heads
+    load_occ_ae_head()
+    heads = load_bbox_heads()
+
+    from objectcentricocccompletion_tpu.configs.ococcnet_config import (
+        tiny_config)
+    from objectcentricocccompletion_tpu.models import ococcnet as oc
+    from objectcentricocccompletion_tpu.ops.roi_pool import RoiPoolInfo
+
+    B, L, P, F0 = 2, 4, 24, 2
+    NB, FC = 2, (16, 32)
+    RFC = NB * sum(FC)
+    G = B * L
+    torch.manual_seed(17)
+
+    occ_ae_cfg = dict(
+        type="OccAutoEncoder",
+        backbone=dict(
+            type="SIR", num_blocks=NB,
+            in_channels=[3 + 12] + [3 + FC[-1]] * (NB - 1),
+            feat_channels=[list(FC) for _ in range(NB)],
+            rel_mlp_hidden_dims=[[8, 16] for _ in range(NB)],
+            with_rel_mlp=True, with_distance=False,
+            with_cluster_center=False, norm_cfg=dict(type="LN", eps=1e-3),
+            mode="max", xyz_normalizer=[1, 1, 1], act="gelu", dropout=0,
+            unique_once=True),
+        voxel_size=0.4,
+        loss_occ_ae=dict(type="CrossEntropyLoss", reduction="none",
+                         use_sigmoid=True, loss_weight=1.0),
+        occ_decoder=dict(roi_feature_channels=RFC, occ_mlp=[16, 16],
+                         use_positional_encoding=True, pos_encode_L=10,
+                         norm_pos=True, norm_cfg=dict(type="LN", eps=1e-3),
+                         act="gelu", occ_dropout=0.0, cls_dim=1,
+                         pos_thresh=0.5, use_ln=True),
+        with_voxelize_centers=True, compensate_encoder_coors=True)
+    head = heads["ococc_bbox_head"].OccBBoxHead(
+        num_blocks=NB,
+        in_channels=[3 + (F0 + 1) + 13] + [3 + FC[-1] + 13] * (NB - 1),
+        feat_channels=[list(FC) for _ in range(NB)],
+        rel_mlp_hidden_dims=[[8, 16] for _ in range(NB)],
+        rel_mlp_in_channels=[13] * NB,
+        with_rel_mlp=True, with_cluster_center=False, with_distance=False,
+        mode="max", xyz_normalizer=[20, 20, 4], geo_input=True, dropout=0,
+        unique_once=True, occ_ae_head=occ_ae_cfg,
+        roi_feature_channels=RFC, fixed_ae=False, attn_num_head=4,
+        attn_ffn_dim=64, attn_dropout=0.0, num_classes=1,
+        bbox_coder=dict(type="DeltaXYZWLHRBBoxCoder"),
+        cls_mlp=[16], reg_mlp=[16], latent_mlp=[24], fusion_mlp=[24],
+        act="gelu", norm_cfg=dict(type="LN", eps=1e-3),
+        cls_dropout=0, reg_dropout=0, latent_dropout=0, fusion_dropout=0,
+        with_roi_pos_encoding=True, roi_pos_enc_mlp=[16],
+        roi_enc_dropout=0, num_enc_layers=2, fused_mode="concat",
+        rcnn_trans=False).eval()
+    head.test_cfg = {}
+
+    # ---- inputs: injected pooled geometry, identical on both sides ----
+    rng = np.random.default_rng(21)
+    pts_xyz = rng.uniform(-15, 15, (B, L, P, 3)).astype(np.float32)
+    pts_feats = rng.standard_normal((B, L, P, F0)).astype(np.float32)
+    mask = rng.uniform(size=(B, L, P)) < 0.8
+    mask[:, :, :2] = True
+    mask[1, 2, :] = False                       # one empty RoI
+    local = rng.uniform(-2.5, 2.5, (B, L, P, 3)).astype(np.float32)
+    boundary = rng.uniform(0, 4, (B, L, P, 6)).astype(np.float32)
+    margin = (rng.uniform(size=(B, L, P)) < 0.3).astype(np.float32)
+    rois = np.zeros((B, L, 7), np.float32)
+    rois[..., :3] = rng.uniform(-10, 10, (B, L, 3))
+    rois[..., 3:6] = rng.uniform(1.5, 5, (B, L, 3))
+    rois[..., 6] = rng.uniform(-np.pi, np.pi, (B, L))
+    scores = rng.uniform(0.3, 1, (B, L)).astype(np.float32)
+    rel = pts_xyz - rois[:, :, None, :3]
+
+    # ---- reference side: flatten valid points (b-major, frame order) ----
+    sel = mask.reshape(-1)
+    roi_inds = np.repeat(np.arange(G), P)[sel]
+    fx = pts_xyz.reshape(-1, 3)[sel]
+    ff = pts_feats.reshape(-1, F0)[sel]
+    fscore = scores.reshape(G)[roi_inds][:, None].astype(np.float32)
+    flocal = local.reshape(-1, 3)[sel]
+    fbound = boundary.reshape(-1, 6)[sel]
+    fmargin = margin.reshape(-1)[sel]
+
+    rot = refs["box_utils"].rotation_3d_in_axis
+    neg = torch.tensor([-np.pi / 2])
+    E = rot(torch.eye(3, dtype=torch.float64)[None], neg.double(),
+            axis=2).squeeze(0).numpy().round().astype(np.float32)
+    local_ref = flocal @ E                      # kernel-frame local coords
+    np.testing.assert_allclose(
+        rot(torch.from_numpy(flocal)[None], neg, axis=2).squeeze(0).numpy(),
+        local_ref, atol=1e-5)
+
+    pts_info = {"local_xyz": torch.from_numpy(local_ref),
+                "boundary_offset": torch.from_numpy(fbound),
+                "is_in_margin": torch.from_numpy(fmargin)}
+    rois_t = torch.from_numpy(np.concatenate(
+        [np.repeat(np.arange(B), L)[:, None].astype(np.float32),
+         rois.reshape(G, 7)], -1))
+    frame_inds_t = torch.from_numpy(np.tile(np.arange(L), B))
+    with torch.no_grad():
+        ret = head(torch.from_numpy(fx),
+                   torch.from_numpy(np.concatenate([ff, fscore], -1)),
+                   pts_info, torch.from_numpy(roi_inds), rois_t,
+                   frame_inds_t)
+
+    # ---- our side: same pooled values via an injected roi_pool ----
+    cfg = dataclasses.replace(
+        tiny_config(), batch_size=B, reg_len=L, max_points_per_frame=P,
+        num_blocks=NB, feat_channels=FC, rel_mlp_hidden=(8, 16),
+        d_model=RFC, attn_num_heads=4, attn_ffn_dim=64, num_enc_layers=2,
+        latent_mlp=(24,), fusion_mlp=(24,), cls_mlp=(16,), reg_mlp=(16,),
+        roi_pos_enc_mlp=(16,), attn_dropout=0.0, cls_dropout=0.0,
+        reg_dropout=0.0, latent_dropout=0.0, fusion_dropout=0.0,
+        occ_dropout=0.0, occ_mlp=(16, 16), packed_point_budget=None,
+        roi_point_budget=None, rcnn_trans=False, test_attn_window=-1,
+        ae_voxel_size=0.4, xyz_normalizer=(20.0, 20.0, 4.0),
+        ae_xyz_normalizer=(1.0, 1.0, 1.0))
+
+    pool = RoiPoolInfo(jnp.asarray(mask), jnp.asarray(local),
+                       jnp.asarray(boundary), jnp.asarray(margin),
+                       jnp.asarray(rel))
+    monkeypatch.setattr(oc.rp, "roi_pool", lambda *a, **k: pool)
+
+    params = {
+        "roi_encoder": {
+            f"block_{i}": _absorb_geo_rotation(
+                _sir_block_params(head.block_list[i]), E,
+                3 + ((F0 + 1) if i == 0 else FC[-1]))
+            for i in range(NB)},
+        "ae_encoder": {
+            f"block_{i}": _sir_block_params(
+                head.occ_ae_head.point_encoder.block_list[i])
+            for i in range(NB)},
+        "roi_pos_enc": _mlp_params(head.roi_pos_enc_mlp),
+        "temporal": {f"layer_{n}": _encoder_layer_params(lyr)
+                     for n, lyr in enumerate(head.trans_enc.layers)},
+        "conv_latent": _mlp_params(head.conv_latent),
+        "conv_fused": _mlp_params(head.conv_fused),
+        "conv_cls": _mlp_params(head.conv_cls),
+        "conv_reg": _mlp_params(head.conv_reg),
+    }
+
+    batch = oc.TrackletBatch(
+        points=jnp.asarray(np.concatenate([pts_xyz, pts_feats], -1)),
+        points_mask=jnp.asarray(mask), rois=jnp.asarray(rois),
+        roi_scores=jnp.asarray(scores),
+        frame_inds=jnp.asarray(np.tile(np.arange(L), (B, 1))),
+        gt_boxes=jnp.zeros((B, L, 7)), gt_valid=jnp.zeros((B, L), bool),
+        occ_points=jnp.zeros((B, 4, 3)), occ_labels=jnp.zeros((B, 4)),
+        occ_mask=jnp.zeros((B, 4), bool), occ_score=jnp.zeros((B,)))
+    out = oc.OcOccNet(cfg).apply({"params": params}, batch, train=False)
+
+    np.testing.assert_allclose(
+        np.asarray(out["ae_latent"]).reshape(G, RFC),
+        ret["ori_roi_feats"].numpy(), atol=2e-4, rtol=1e-3)
+    np.testing.assert_allclose(
+        np.asarray(out["shape_latent"]).reshape(G, RFC),
+        ret["fused_roi_feats"].numpy(), atol=2e-4, rtol=1e-3)
+    np.testing.assert_allclose(
+        np.asarray(out["cls_logit"]).reshape(G),
+        ret["cls_score"].numpy()[:, 0], atol=2e-4, rtol=1e-3)
+    np.testing.assert_allclose(
+        np.asarray(out["bbox_pred"]).reshape(G, 7),
+        ret["bbox_pred"].numpy(), atol=2e-4, rtol=1e-3)
+
+
 # ------------------------------------------------- SST window encoder layer
 def test_sst_encoder_layer_transplant(refs):
     """The reference SST EncoderLayer (torch nn.MultiheadAttention inside
