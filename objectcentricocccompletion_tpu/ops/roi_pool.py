@@ -24,6 +24,21 @@ this framework's canonical local frame (see ``core/boxes.py``):
                            box, 0.0 when inside the original box (1)
   * ``rel_xyz``          — global xyz minus the RoI bottom-center (3, used by
                            the RoI encoder's ``f_cluster``)
+
+Known divergence — point-cap truncation order. When a cap binds
+(``roi_point_budget`` here, ``max_inbox_point``/``max_all_pts`` in the CUDA
+kernel), the SUBSET of surviving points can differ: this module keeps
+valid-first STABLE order within each frame (``ococcnet.py`` compaction via
+``argsort(~mask, stable=True)``; the packed layout drops latest-frame points
+first on global overflow), while ``dynamic_point_pool`` keeps the first
+``max_inbox_point`` points in its CUDA block-execution order
+(``ops/dynamic_point_pool_op.py:29-35``) — which for a single launch is also
+input order per RoI, but the global ``max_all_pts`` buffer fills in block
+order across RoIs, so the dropped set under global overflow differs. This is
+untestable against the CUDA kernel in this environment and immaterial in
+practice: the SIR encoders are permutation-invariant masked reductions, the
+caps rarely bind (1024-point frame cap upstream), and both sides keep a
+uniformly-representative subset. All parity tests run below the caps.
 """
 from __future__ import annotations
 

@@ -112,6 +112,52 @@ def _scatter_max(src, index, dim=0, dim_size=None):
     return out, arg
 
 
+# mmdet loss semantics (the pip mmdet package's CrossEntropyLoss/L1Loss —
+# not reference code): elementwise loss * weight, then reduce by avg_factor
+def _weight_reduce_loss(loss, weight, reduction, avg_factor):
+    if weight is not None:
+        loss = loss * weight
+    if avg_factor is None:
+        if reduction == "mean":
+            return loss.mean()
+        if reduction == "sum":
+            return loss.sum()
+        return loss
+    if reduction == "mean":
+        return loss.sum() / avg_factor
+    assert reduction == "none", "mmdet: avg_factor only valid with mean"
+    return loss
+
+
+class MMDetBCELoss(nn.Module):
+    """mmdet ``CrossEntropyLoss(use_sigmoid=True)`` forward semantics."""
+
+    def __init__(self, reduction="mean", loss_weight=1.0):
+        super().__init__()
+        self.reduction = reduction
+        self.loss_weight = loss_weight
+
+    def forward(self, pred, target, weight=None, avg_factor=None):
+        loss = torch.nn.functional.binary_cross_entropy_with_logits(
+            pred, target.float(), reduction="none")
+        return self.loss_weight * _weight_reduce_loss(
+            loss, weight, self.reduction, avg_factor)
+
+
+class MMDetL1Loss(nn.Module):
+    """mmdet ``L1Loss`` forward semantics."""
+
+    def __init__(self, reduction="mean", loss_weight=1.0):
+        super().__init__()
+        self.reduction = reduction
+        self.loss_weight = loss_weight
+
+    def forward(self, pred, target, weight=None, avg_factor=None):
+        loss = (pred - target).abs()
+        return self.loss_weight * _weight_reduce_loss(
+            loss, weight, self.reduction, avg_factor)
+
+
 # fake waymo protos: attribute bags matching the fields lidar2waymo_box sets
 class _FakeBox:
     def __init__(self):
@@ -220,10 +266,16 @@ def load_reference():
         def __init__(self, *a, **k):
             pass
 
+    def _multi_apply(func, *args, **kwargs):
+        # mmdet.core.multi_apply: map func over zipped args, kwargs bound
+        import functools
+        pfunc = functools.partial(func, **kwargs) if kwargs else func
+        return tuple(map(list, zip(*map(pfunc, *args))))
+
     _pkg("mmdet")
     _pkg("mmdet.core",
          build_bbox_coder=lambda cfg: None,
-         multi_apply=lambda f, *a, **k: tuple(map(list, zip(*map(f, *a)))),
+         multi_apply=_multi_apply,
          reduce_mean=lambda t: t)
     _pkg("mmdet.core.bbox", BaseBBoxCoder=_BaseBBoxCoder)
     _mod("mmdet.core.bbox.builder", BBOX_CODERS=_Registry())

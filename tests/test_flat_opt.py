@@ -82,7 +82,11 @@ def test_flat_opt_matches_tree_optimizer():
 
 def test_flat_opt_step_loss_matches():
     """End-to-end smoke: the flat-opt jitted train step reproduces the tree
-    step's loss/grad-norm (loose tolerance — separately compiled programs)."""
+    step's loss/grad-norm (loose tolerance — separately compiled programs).
+    A SECOND step runs from each path's own updated state, so the flat
+    branch's full wiring (flatten grads -> tx.update -> unflatten ->
+    apply_updates inside the jitted step) is exercised: a wiring bug that
+    corrupts the post-update params would diverge the step-2 losses."""
     cfg = tiny_config()
     mesh = make_mesh(jax.devices()[:1])
     batch = synthetic_batch(cfg, batch_size=2, seed=1)
@@ -94,9 +98,17 @@ def test_flat_opt_step_loss_matches():
     step_f = make_train_step(model, tx_f, mesh, flat_opt=True)
     sbatch = shard_batch(batch, mesh)
     rng = jax.random.PRNGKey(1)
-    _, aux_t = step_t(state_t, sbatch, rng)
-    _, aux_f = step_f(state_f, sbatch, rng)
+    state_t, aux_t = step_t(state_t, sbatch, rng)
+    state_f, aux_f = step_f(state_f, sbatch, rng)
     np.testing.assert_allclose(float(aux_f["loss"]), float(aux_t["loss"]),
                                rtol=1e-5)
     np.testing.assert_allclose(float(aux_f["grad_norm"]),
                                float(aux_t["grad_norm"]), rtol=1e-4)
+    # step 2 from each path's own updated state: losses agree to the
+    # lr-scale (Adam's unit-scale first update x lr 1e-4 bounds the param
+    # delta; near-zero-grad leaves may differ at last-bit, so loose rtol)
+    _, aux_t2 = step_t(state_t, sbatch, rng)
+    _, aux_f2 = step_f(state_f, sbatch, rng)
+    assert float(aux_t2["loss"]) < float(aux_t["loss"])  # it does optimize
+    np.testing.assert_allclose(float(aux_f2["loss"]), float(aux_t2["loss"]),
+                               rtol=1e-4)

@@ -1,0 +1,409 @@
+"""Loss + GRADIENT transplant parity vs the EXECUTED reference training path.
+
+Round-5 VERDICT missing #1: a forward can match while training diverges
+(detach boundaries, avg-factor semantics, weight routing). This module runs
+the reference's real ``OccBBoxHead.get_targets`` -> ``loss`` -> ``loss_occ``
+(``ococc_bbox_head.py:433-811,1045-1309``) end-to-end on the transplanted
+weights of the full-forward setup (same head construction as
+``test_transplant_parity.test_occ_bbox_head_full_forward_transplant``), and
+asserts:
+
+  1. every loss component equals ours — loss_rcnn_cls / loss_rcnn_bbox
+     exactly, and loss_rcnn_occ under mmdet ``parse_losses`` mean semantics
+     (the reduction="none" occ loss is averaged over its M*K elements),
+  2. ``total.backward()`` gradients equal ``jax.grad`` per shared parameter.
+
+Gradient mapping: the transplant maps (transposes, q/k/v splits, the
+split-first-layer decoder factorization, and the signed-permutation
+``_absorb_geo_rotation``) are all orthogonal linear reparametrizations, so
+gradients map through the SAME functions as the weights — we swap
+``p.data <- p.grad`` and rerun the identical extraction.
+
+mmdet's CrossEntropyLoss/L1Loss/multi_apply semantics (pip package, not in
+the reference tree) are re-implemented in ``refstub`` glue.
+
+Reference anchors:
+  * ``ococc_bbox_head.py:433-606``  loss (cls avg_factor=G, reg=num_pos)
+  * ``ococc_bbox_head.py:608-811``  loss_occ (no_grad occ-query transform)
+  * ``ococc_bbox_head.py:1045-1161`` get_targets batching/concat
+  * ``fsd_bbox_head.py:442-456``    filter_pos_assigned_but_empty_rois
+"""
+import dataclasses
+import os
+import sys
+import types
+
+import numpy as np
+import pytest
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+pytestmark = pytest.mark.skipif(
+    not os.path.isdir("/root/reference"),
+    reason="reference tree not available")
+
+torch = pytest.importorskip("torch")
+import jax  # noqa: E402
+import jax.numpy as jnp  # noqa: E402
+
+import refstub  # noqa: E402
+from refstub import (MMDetBCELoss, MMDetL1Loss, load_bbox_heads,  # noqa: E402
+                     load_occ_ae_head)
+from test_transplant_parity import (_absorb_geo_rotation, _encoder_layer_params,  # noqa: E402
+                                    _lin, _ln, _mlp_params, _sir_block_params,
+                                    _t2j)
+
+
+class _Cfg(dict):
+    def __getattr__(self, k):
+        return self[k]
+
+
+B, L, P, F0 = 2, 4, 24, 2
+NB, FC = 2, (16, 32)
+RFC = NB * sum(FC)
+G = B * L
+K_OCC = 16
+N_POS = (4, 3)            # GT prefix length per tracklet
+OCC_SCORE = (0.9, 0.3)    # tracklet 1 falls below occ_label_thresh=0.4
+
+
+def _build_head():
+    """The full-forward transplant head, plus its training attributes."""
+    load_occ_ae_head()
+    heads = load_bbox_heads()
+    torch.manual_seed(17)
+    occ_ae_cfg = dict(
+        type="OccAutoEncoder",
+        backbone=dict(
+            type="SIR", num_blocks=NB,
+            in_channels=[3 + 12] + [3 + FC[-1]] * (NB - 1),
+            feat_channels=[list(FC) for _ in range(NB)],
+            rel_mlp_hidden_dims=[[8, 16] for _ in range(NB)],
+            with_rel_mlp=True, with_distance=False,
+            with_cluster_center=False, norm_cfg=dict(type="LN", eps=1e-3),
+            mode="max", xyz_normalizer=[1, 1, 1], act="gelu", dropout=0,
+            unique_once=True),
+        voxel_size=0.4,
+        loss_occ_ae=dict(type="CrossEntropyLoss", reduction="none",
+                         use_sigmoid=True, loss_weight=1.0),
+        occ_decoder=dict(roi_feature_channels=RFC, occ_mlp=[16, 16],
+                         use_positional_encoding=True, pos_encode_L=10,
+                         norm_pos=True, norm_cfg=dict(type="LN", eps=1e-3),
+                         act="gelu", occ_dropout=0.0, cls_dim=1,
+                         pos_thresh=0.5, use_ln=True),
+        with_voxelize_centers=True, compensate_encoder_coors=True)
+    head = heads["ococc_bbox_head"].OccBBoxHead(
+        num_blocks=NB,
+        in_channels=[3 + (F0 + 1) + 13] + [3 + FC[-1] + 13] * (NB - 1),
+        feat_channels=[list(FC) for _ in range(NB)],
+        rel_mlp_hidden_dims=[[8, 16] for _ in range(NB)],
+        rel_mlp_in_channels=[13] * NB,
+        with_rel_mlp=True, with_cluster_center=False, with_distance=False,
+        mode="max", xyz_normalizer=[20, 20, 4], geo_input=True, dropout=0,
+        unique_once=True, occ_ae_head=occ_ae_cfg,
+        roi_feature_channels=RFC, fixed_ae=False, attn_num_head=4,
+        attn_ffn_dim=64, attn_dropout=0.0, num_classes=1,
+        bbox_coder=dict(type="DeltaXYZWLHRBBoxCoder"),
+        cls_mlp=[16], reg_mlp=[16], latent_mlp=[24], fusion_mlp=[24],
+        act="gelu", norm_cfg=dict(type="LN", eps=1e-3),
+        cls_dropout=0, reg_dropout=0, latent_dropout=0, fusion_dropout=0,
+        with_roi_pos_encoding=True, roi_pos_enc_mlp=[16],
+        roi_enc_dropout=0, num_enc_layers=2, fused_mode="concat",
+        rcnn_trans=False, occ_label_thresh=0.4)
+    head.test_cfg = {}
+    # shipped ococcnet train_cfg (configs/ococc/ococcnet.py:150-173);
+    # sync_* reduce_mean is identity single-process (refstub stub)
+    head.train_cfg = _Cfg(
+        cls_pos_thr=(0.8,), cls_neg_thr=(0.2,),
+        sync_reg_avg_factor=True, sync_cls_avg_factor=True,
+        corner_loss_only_car=True, class_names=["Car"],
+        rcnn_code_weights=[2.0, 2.0, 1.0, 1.0, 1.0, 1.0, 1.0],
+        residual_loss=False, contrastive_loss=False,
+        no_loss_for_outside=False, no_loss_for_observed_feats=False)
+    # mmdet-built losses (shipped config types/weights)
+    head.loss_cls = MMDetBCELoss(reduction="mean", loss_weight=1.0)
+    head.loss_bbox = MMDetL1Loss(reduction="mean", loss_weight=2.0)
+    head.loss_occ_comp = MMDetBCELoss(reduction="none", loss_weight=1.0)
+    return head
+
+
+def _decoder_params(dec):
+    """reference OccDecoder (use_ln, build_mlp) -> flax OccDecoder params
+    with the exact split-first-layer factorization."""
+    D = dec.ln.weight.shape[0]
+    blk0, blk1, out = dec.conv_occ[0], dec.conv_occ[1], dec.conv_occ[2]
+    w0 = _t2j(blk0[0].weight)
+    return {
+        "ln": _ln(dec.ln),
+        "in_latent": {"kernel": w0[:, :D].T},
+        "in_pos": {"kernel": w0[:, D:].T},
+        "in_norm": _ln(blk0[1]),
+        "mlp": {
+            "Dense_0": {"kernel": _t2j(blk1[0].weight).T},
+            "LayerNorm_0": _ln(blk1[1]),
+            "Dense_1": _lin(out, bias=True),
+        },
+    }
+
+
+def _extract_params(head, E):
+    """torch head -> flax OcOccNet params (the full-forward transplant map
+    plus the occ decoder used by loss_occ). Linear-orthogonal throughout, so
+    the same map converts gradients."""
+    return {
+        "roi_encoder": {
+            f"block_{i}": _absorb_geo_rotation(
+                _sir_block_params(head.block_list[i]), E,
+                3 + ((F0 + 1) if i == 0 else FC[-1]))
+            for i in range(NB)},
+        "ae_encoder": {
+            f"block_{i}": _sir_block_params(
+                head.occ_ae_head.point_encoder.block_list[i])
+            for i in range(NB)},
+        "roi_pos_enc": _mlp_params(head.roi_pos_enc_mlp),
+        "temporal": {f"layer_{n}": _encoder_layer_params(lyr)
+                     for n, lyr in enumerate(head.trans_enc.layers)},
+        "conv_latent": _mlp_params(head.conv_latent),
+        "conv_fused": _mlp_params(head.conv_fused),
+        "conv_cls": _mlp_params(head.conv_cls),
+        "conv_reg": _mlp_params(head.conv_reg),
+        "occ_decoder": _decoder_params(head.occ_ae_head.occ_decoder),
+    }
+
+
+def _make_data():
+    """Pooled geometry (injected identically on both sides) + GT/occ."""
+    rng = np.random.default_rng(21)
+    d = types.SimpleNamespace()
+    d.pts_xyz = rng.uniform(-15, 15, (B, L, P, 3)).astype(np.float32)
+    d.pts_feats = rng.standard_normal((B, L, P, F0)).astype(np.float32)
+    mask = rng.uniform(size=(B, L, P)) < 0.8
+    mask[:, :, :2] = True
+    mask[1, 2, :] = False        # empty RoI inside the GT prefix of trk 1:
+    d.mask = mask                # exercises filter_pos_assigned_but_empty
+    d.local = rng.uniform(-2.5, 2.5, (B, L, P, 3)).astype(np.float32)
+    d.boundary = rng.uniform(0, 4, (B, L, P, 6)).astype(np.float32)
+    d.margin = (rng.uniform(size=(B, L, P)) < 0.3).astype(np.float32)
+    rois = np.zeros((B, L, 7), np.float32)
+    rois[..., :3] = rng.uniform(-10, 10, (B, L, 3))
+    rois[..., 3:6] = rng.uniform(1.5, 5, (B, L, 3))
+    rois[..., 6] = rng.uniform(-np.pi, np.pi, (B, L))
+    d.rois = rois
+    d.scores = rng.uniform(0.3, 1, (B, L)).astype(np.float32)
+    d.rel = d.pts_xyz - rois[:, :, None, :3]
+
+    # GT boxes: jittered RoIs on a validity PREFIX (pos-first sampling
+    # order == frame order, so no reorder machinery is needed); one
+    # opposite heading hits the canonical flip branch
+    gt = rois.copy()
+    gt[..., :3] += rng.uniform(-0.5, 0.5, (B, L, 3)).astype(np.float32)
+    gt[..., 3:6] *= rng.uniform(0.9, 1.1, (B, L, 3)).astype(np.float32)
+    gt[..., 6] += rng.uniform(-0.3, 0.3, (B, L)).astype(np.float32)
+    gt[0, 1, 6] += np.pi
+    gt_valid = np.zeros((B, L), bool)
+    for b in range(B):
+        gt_valid[b, :N_POS[b]] = True
+    gt[~gt_valid] = rois[~gt_valid]   # benign filler (masked in the loss)
+    d.gt = gt.astype(np.float32)
+    d.gt_valid = gt_valid
+
+    d.occ_xyz = rng.uniform(-2.5, 2.5, (B, K_OCC, 3)).astype(np.float32)
+    d.occ_lab = rng.integers(0, 2, (B, K_OCC)).astype(np.float32)
+    d.occ_score = np.asarray(OCC_SCORE, np.float32)
+    return d
+
+
+def _run_reference(head, d, iou_full):
+    """Execute get_targets + forward + loss on the reference head."""
+    sel = d.mask.reshape(-1)
+    roi_inds = np.repeat(np.arange(G), P)[sel]
+    fx = d.pts_xyz.reshape(-1, 3)[sel]
+    ff = d.pts_feats.reshape(-1, F0)[sel]
+    fscore = d.scores.reshape(G)[roi_inds][:, None].astype(np.float32)
+    flocal = d.local.reshape(-1, 3)[sel]
+    fbound = d.boundary.reshape(-1, 6)[sel]
+    fmargin = d.margin.reshape(-1)[sel]
+
+    refs = refstub.load_reference()
+    rot = refs["box_utils"].rotation_3d_in_axis
+    neg = torch.tensor([-np.pi / 2])
+    E = rot(torch.eye(3, dtype=torch.float64)[None], neg.double(),
+            axis=2).squeeze(0).numpy().round().astype(np.float32)
+    local_ref = flocal @ E
+
+    pts_info = {"local_xyz": torch.from_numpy(local_ref),
+                "boundary_offset": torch.from_numpy(fbound),
+                "is_in_margin": torch.from_numpy(fmargin)}
+    rois_t = torch.from_numpy(np.concatenate(
+        [np.repeat(np.arange(B), L)[:, None].astype(np.float32),
+         d.rois.reshape(G, 7)], -1))
+    frame_inds_t = torch.from_numpy(np.tile(np.arange(L), B))
+
+    ret = head(torch.from_numpy(fx),
+               torch.from_numpy(np.concatenate([ff, fscore], -1)),
+               pts_info, torch.from_numpy(roi_inds), rois_t, frame_inds_t)
+
+    # sampling results: per-ts one2one assignment with a GT prefix
+    srs = []
+    for b in range(B):
+        n = N_POS[b]
+        sr = types.SimpleNamespace()
+        sr.pos_bboxes = torch.from_numpy(d.rois[b, :n])
+        sr.pos_gt_bboxes = torch.from_numpy(d.gt[b, :n])
+        sr.iou = torch.from_numpy(iou_full[b])
+        sr.pos_gt_labels = torch.zeros(n, dtype=torch.long)
+        sr.occ_labels = torch.from_numpy(np.concatenate(
+            [d.occ_xyz[b], d.occ_lab[b][:, None]], -1))
+        sr.occ_scores = torch.tensor(float(d.occ_score[b]))
+        srs.append(sr)
+
+    targets = head.get_targets(srs, head.train_cfg, transform_occ=False,
+                               num_occ_per_tracklet=-1)
+    losses = head.loss(ret, rois_t, *targets, transform_occ=True,
+                       roi_frame_inds=frame_inds_t)
+    # mmdet parse_losses: every 'loss*' entry is .mean()ed then summed
+    total = (losses["loss_rcnn_cls"] + losses["loss_rcnn_bbox"]
+             + losses["loss_rcnn_occ"].mean())
+    return ret, losses, total, E
+
+
+def _our_cfg():
+    from objectcentricocccompletion_tpu.configs.ococcnet_config import (
+        tiny_config)
+    return dataclasses.replace(
+        tiny_config(), batch_size=B, reg_len=L, max_points_per_frame=P,
+        num_blocks=NB, feat_channels=FC, rel_mlp_hidden=(8, 16),
+        d_model=RFC, attn_num_heads=4, attn_ffn_dim=64, num_enc_layers=2,
+        latent_mlp=(24,), fusion_mlp=(24,), cls_mlp=(16,), reg_mlp=(16,),
+        roi_pos_enc_mlp=(16,), attn_dropout=0.0, cls_dropout=0.0,
+        reg_dropout=0.0, latent_dropout=0.0, fusion_dropout=0.0,
+        occ_dropout=0.0, occ_mlp=(16, 16), packed_point_budget=None,
+        roi_point_budget=None, rcnn_trans=False, test_attn_window=-1,
+        ae_voxel_size=0.4, xyz_normalizer=(20.0, 20.0, 4.0),
+        ae_xyz_normalizer=(1.0, 1.0, 1.0), num_occ_samples=K_OCC)
+
+
+def _our_batch(d):
+    from objectcentricocccompletion_tpu.models import ococcnet as oc
+    return oc.TrackletBatch(
+        points=jnp.asarray(np.concatenate([d.pts_xyz, d.pts_feats], -1)),
+        points_mask=jnp.asarray(d.mask), rois=jnp.asarray(d.rois),
+        roi_scores=jnp.asarray(d.scores),
+        frame_inds=jnp.asarray(np.tile(np.arange(L), (B, 1))),
+        gt_boxes=jnp.asarray(d.gt), gt_valid=jnp.asarray(d.gt_valid),
+        occ_points=jnp.asarray(d.occ_xyz),
+        occ_labels=jnp.asarray(d.occ_lab),
+        occ_mask=jnp.ones((B, K_OCC), bool),
+        occ_score=jnp.asarray(d.occ_score))
+
+
+@pytest.fixture(scope="module")
+def pair(module_monkeypatch):
+    from objectcentricocccompletion_tpu.core import boxes as box_ops
+    from objectcentricocccompletion_tpu.models import ococcnet as oc
+    from objectcentricocccompletion_tpu.ops.roi_pool import RoiPoolInfo
+
+    head = _build_head()
+    d = _make_data()
+
+    # the IoU both sides use for soft labels (ours recomputes these exact
+    # values inside the loss; the reference's torchex aligned-BEV overlap
+    # is CUDA-only, and our aligned_iou_3d carries its own invariants suite)
+    iou = np.asarray(box_ops.aligned_iou_3d(
+        jnp.asarray(d.rois), jnp.asarray(d.gt)))
+    iou_full = np.where(d.gt_valid, iou, 0.0).astype(np.float32)
+
+    ret, ref_losses, ref_total, E = _run_reference(head, d, iou_full)
+
+    pool = RoiPoolInfo(jnp.asarray(d.mask), jnp.asarray(d.local),
+                       jnp.asarray(d.boundary), jnp.asarray(d.margin),
+                       jnp.asarray(d.rel))
+    module_monkeypatch.setattr(oc.rp, "roi_pool", lambda *a, **k: pool)
+
+    params = _extract_params(head, E)
+    cfg = _our_cfg()
+    model = oc.OcOccNetWithLoss(cfg)
+    batch = _our_batch(d)
+
+    def loss_fn(p):
+        total, comps = model.apply({"params": {"net": p}}, batch,
+                                   train=False)
+        return total, comps
+
+    return types.SimpleNamespace(head=head, d=d, ref_losses=ref_losses,
+                                 ref_total=ref_total, E=E, params=params,
+                                 loss_fn=loss_fn)
+
+
+@pytest.fixture(scope="module")
+def module_monkeypatch():
+    mp = pytest.MonkeyPatch()
+    yield mp
+    mp.undo()
+
+
+def test_loss_components_transplant(pair):
+    """Each reference loss component equals ours on transplanted weights:
+    cls (avg_factor=G, empty-roi weight zeroed), bbox (L1 * code_weights /
+    num_pos, loss_weight 2), occ (reduction='none' averaged over M*K per
+    parse_losses, confidence-gated by occ_label_thresh)."""
+    total, comps = pair.loss_fn(pair.params)
+    ref = pair.ref_losses
+    np.testing.assert_allclose(float(comps["loss_rcnn_cls"]),
+                               float(ref["loss_rcnn_cls"]),
+                               rtol=2e-4, atol=2e-5)
+    np.testing.assert_allclose(float(comps["loss_rcnn_bbox"]),
+                               float(ref["loss_rcnn_bbox"]),
+                               rtol=2e-4, atol=2e-4)
+    np.testing.assert_allclose(float(comps["loss_rcnn_occ"]),
+                               float(ref["loss_rcnn_occ"].mean()),
+                               rtol=2e-4, atol=2e-5)
+    np.testing.assert_allclose(float(total), float(pair.ref_total),
+                               rtol=2e-4, atol=2e-4)
+    # bookkeeping parity: positive-roi count after the nonempty filter
+    assert float(comps["num_pos_rois"]) == float(ref["num_pos_rois"])
+
+
+def test_grad_transplant(pair):
+    """Per-parameter gradient equality: torch autograd through the real
+    reference loss vs jax.grad through ours, mapped through the same
+    (orthogonal) transplant transforms. Pins detach boundaries (the
+    no_grad occ-query transform, ococc_bbox_head.py:683-699), avg-factor
+    constants, and the weight routing of every head."""
+    head = pair.head
+    head.zero_grad()
+    pair.ref_total.backward()
+
+    # swap p.data <- p.grad and rerun the identical extraction: the
+    # transplant map is linear-orthogonal, so it converts grads verbatim
+    saved = [p.data for p in head.parameters()]
+    try:
+        with torch.no_grad():
+            for p in head.parameters():
+                p.data = (p.grad.detach().clone() if p.grad is not None
+                          else torch.zeros_like(p.data))
+        ref_grads = _extract_params(head, pair.E)
+    finally:
+        with torch.no_grad():
+            for p, s in zip(head.parameters(), saved):
+                p.data = s
+
+    ours = jax.grad(lambda p: pair.loss_fn(p)[0])(pair.params)
+
+    flat_ref = jax.tree_util.tree_flatten_with_path(ref_grads)[0]
+    flat_ours = dict(jax.tree_util.tree_flatten_with_path(ours)[0])
+    assert len(flat_ref) == len(flat_ours)
+    checked = nonzero = 0
+    for path, g_ref in flat_ref:
+        g_our = np.asarray(flat_ours[path])
+        g_ref = np.asarray(g_ref)
+        name = jax.tree_util.keystr(path)
+        scale = max(np.abs(g_ref).max(), 1e-3)
+        np.testing.assert_allclose(
+            g_our, g_ref, rtol=5e-3, atol=1e-4 * max(scale, 1.0),
+            err_msg=f"gradient mismatch at {name}")
+        checked += 1
+        nonzero += int(np.abs(g_ref).max() > 1e-9)
+    assert checked > 60          # the full tower's parameter leaves
+    assert nonzero > 50          # and the loss actually reaches them

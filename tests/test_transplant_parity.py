@@ -521,10 +521,15 @@ def test_occ_bbox_head_full_forward_transplant(refs, monkeypatch):
     positional encodings, latent fusion (``fused_mode='concat'``), and the
     cls/reg heads — executed against OUR full ``OcOccNet.__call__`` with
     transplanted weights. The pooled 13-d geometry is injected identically
-    on both sides (pool parity is pinned by its own tests); the only
-    representational difference, the roi encoder's kernel-frame local
-    coords, is absorbed into first-layer weights (see
-    ``_absorb_geo_rotation``)."""
+    on both sides (pool parity is pinned by its own tests). Two pooled
+    channels are kernel-frame in the reference and canonical-frame in ours:
+    ``local_xyz`` (absorbed into first-layer weights here, see
+    ``_absorb_geo_rotation``) and ``boundary_offset`` (the reference pool
+    pairs face channels (0,3) with the box's kernel-frame column-4 size,
+    ``dynamic_point_roi_extractor.py:225-227``, i.e. the 6 face channels
+    are permuted between frames — injecting identical boundary values on
+    both sides sidesteps that; a real reference-checkpoint transplant
+    would additionally absorb the face permutation the same way)."""
     import dataclasses
 
     from refstub import load_occ_ae_head, load_bbox_heads
