@@ -140,3 +140,71 @@ class FrameDataset:
             from .dbsampler import apply_db_sample
             sample = apply_db_sample(sample, self.db_sampler)
         return sample
+
+
+def write_synthetic_frames(root: str, num_frames: int = 8,
+                           num_points: int = 120000, num_boxes: int = 40,
+                           seed: int = 0) -> str:
+    """Write a file-backed synthetic KITTI-format frame dataset at
+    production scale (point/box budgets of the Waymo configs), for
+    sustained full-scale detector training without the real data
+    (``tools/train.py <family> --infos ... --data-root ...``).
+
+    Layout mirrors what ``FrameDataset`` consumes: per-frame velodyne .bin
+    ([N, 6] float32) + an infos.pkl with camera-frame KITTI annos (the
+    same calib convention as the reference's waymo-kitti converter).
+    Returns the infos path."""
+    import pickle
+
+    rng = np.random.RandomState(seed)
+    os.makedirs(os.path.join(root, "velodyne"), exist_ok=True)
+    rect = np.eye(4)
+    trv2c = np.asarray([[0, -1, 0, 0], [0, 0, -1, 0],
+                        [1, 0, 0, 0], [0, 0, 0, 1]], np.float64)
+    names_pool = ["Car", "Pedestrian", "Cyclist"]
+    sizes = {"Car": (2.1, 4.8, 1.8), "Pedestrian": (0.9, 0.9, 1.7),
+             "Cyclist": (0.85, 1.8, 1.7)}
+    infos = []
+    for i in range(num_frames):
+        # ground + ambient returns across the full range
+        n_bg = num_points - 64 * num_boxes
+        bg = np.concatenate([
+            rng.uniform(-74, 74, (n_bg, 2)),
+            rng.uniform(-0.3, 0.3, (n_bg, 1)) - 1.7], -1)
+        pts = [bg]
+        names, locs, dims, rys = [], [], [], []
+        for b in range(num_boxes):
+            name = names_pool[int(rng.randint(3))]
+            w, l, h = sizes[name]
+            ctr = np.array([rng.uniform(-60, 60), rng.uniform(-60, 60),
+                            rng.uniform(-1.8, -1.2)])
+            yaw = rng.uniform(-np.pi, np.pi)
+            local = rng.uniform(-0.45, 0.45, (64, 3)) * np.array([w, l, h])
+            c, s = np.cos(yaw), np.sin(yaw)
+            obj = np.stack([local[:, 0] * c - local[:, 1] * s,
+                            local[:, 0] * s + local[:, 1] * c,
+                            local[:, 2] + h / 2], -1) + ctr
+            pts.append(obj)
+            cam = (rect @ trv2c) @ np.concatenate([ctr, [1.0]])
+            names.append(name)
+            locs.append(cam[:3])
+            dims.append([l, h, w])
+            rys.append(-yaw - np.pi / 2)
+        xyz = np.concatenate(pts, 0)
+        arr = np.concatenate(
+            [xyz, rng.rand(len(xyz), 3).astype(np.float64)],
+            -1).astype(np.float32)
+        vp = f"velodyne/{i:06d}.bin"
+        arr.tofile(os.path.join(root, vp))
+        infos.append(dict(
+            point_cloud=dict(velodyne_path=vp),
+            calib=dict(R0_rect=rect, Tr_velo_to_cam=trv2c),
+            annos=dict(name=np.asarray(names),
+                       location=np.asarray(locs),
+                       dimensions=np.asarray(dims),
+                       rotation_y=np.asarray(rys)),
+            timestamp=1000 + i, segment_name="synth-seg"))
+    info_path = os.path.join(root, "infos.pkl")
+    with open(info_path, "wb") as f:
+        pickle.dump(infos, f)
+    return info_path

@@ -28,7 +28,9 @@ class SeparateHead(nn.Module):
     def __call__(self, x: jax.Array) -> dict:
         x = nn.Conv(self.share_channels, (3, 3), use_bias=False,
                     name="shared")(x)
-        x = nn.GroupNorm(num_groups=16, epsilon=1e-3)(x)
+        # [None]/[0]: torch GN statistics over (H, W, C/G) per sample —
+        # flax GroupNorm would treat H as batch on this unbatched map
+        x = nn.GroupNorm(num_groups=16, epsilon=1e-3)(x[None])[0]
         x = nn.relu(x)
         out = {}
         for name, (c, num_conv) in self.head_dims.items():
@@ -36,7 +38,7 @@ class SeparateHead(nn.Module):
             for i in range(num_conv - 1):
                 h = nn.Conv(64, (3, 3), use_bias=False,
                             name=f"{name}_conv{i}")(h)
-                h = nn.GroupNorm(num_groups=16, epsilon=1e-3)(h)
+                h = nn.GroupNorm(num_groups=16, epsilon=1e-3)(h[None])[0]
                 h = nn.relu(h)
             bias_init = (nn.initializers.constant(self.init_bias)
                          if name == "heatmap" else nn.initializers.zeros)

@@ -266,23 +266,27 @@ class SparseClusterHead(nn.Module):
     layers: int = 2
     act: str = "relu"
     dtype: str = "float32"
+    # the reference config's norm_cfg=dict(type='LN') carries NO eps ->
+    # torch default 1e-5 (not the occ stack's 1e-3); executed-transplant
+    # pinned (tests/test_detector_transplant.py, round 5)
+    ln_eps: float = 1e-5
 
     @nn.compact
     def __call__(self, feats, train: bool = False):
         dt = jnp.dtype(self.dtype)
-        x = Mlp(self.shared_mlp, act=self.act, dtype=dt,
+        x = Mlp(self.shared_mlp, act=self.act, dtype=dt, ln_eps=self.ln_eps,
                 name="shared")(feats, train=train)
         cls_list, reg_list = [], []
         hid = (self.hidden,) * self.layers
         for t in range(self.num_tasks):
-            score = Mlp(hid + (1,), is_head=True, act=self.act, dtype=dt,
-                        name=f"task{t}_score")(x, train=train)
-            center = Mlp(hid + (3,), is_head=True, act=self.act, dtype=dt,
-                         name=f"task{t}_center")(x, train=train)
-            dim = Mlp(hid + (3,), is_head=True, act=self.act, dtype=dt,
-                      name=f"task{t}_dim")(x, train=train)
-            rot = Mlp(hid + (2,), is_head=True, act=self.act, dtype=dt,
-                      name=f"task{t}_rot")(x, train=train)
+            kw = dict(is_head=True, act=self.act, dtype=dt,
+                      ln_eps=self.ln_eps)
+            score = Mlp(hid + (1,), name=f"task{t}_score", **kw)(
+                x, train=train)
+            center = Mlp(hid + (3,), name=f"task{t}_center", **kw)(
+                x, train=train)
+            dim = Mlp(hid + (3,), name=f"task{t}_dim", **kw)(x, train=train)
+            rot = Mlp(hid + (2,), name=f"task{t}_rot", **kw)(x, train=train)
             cls_list.append(score)
             reg_list.append(jnp.concatenate([center, dim, rot], -1))
         # logits/regressions leave in f32: losses and box decode stay f32
@@ -302,8 +306,13 @@ class FSD(nn.Module):
                               dtype=dt)
         self.unet = SparseUNet(c.unet_channels, c.max_voxels, dtype=dt)
         # VoteSegHead: per-class logits + per-class 3-d vote offsets
+        # (one fused head Linear == the reference's separate conv_seg +
+        # voting Linears; act is ReLU per the shipped act_cfg,
+        # fsd_waymoD1_1x_car.py:68 — was gelu until the round-5 executed
+        # transplant caught it)
         self.seg_head = Mlp(tuple(c.seg_head_hidden) + (ncls + ncls * 3,),
-                            is_head=True, act="gelu", dtype=jnp.dtype(dt))
+                            is_head=True, act="relu", ln_eps=1e-5,
+                            dtype=jnp.dtype(dt))
         self.sir = SegmentSIR(
             num_blocks=c.sir_blocks, feat_channels=c.sir_channels,
             rel_mlp_hidden=c.rel_mlp_hidden, xyz_normalizer=c.xyz_normalizer,

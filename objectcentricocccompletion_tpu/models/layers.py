@@ -241,6 +241,11 @@ class Mlp(nn.Module):
     act: str = "gelu"
     dropout: float = 0.0
     dtype: jnp.dtype = jnp.float32   # compute dtype; params stay fp32
+    # LN eps: the occ/SIR configs pin 1e-3; reference modules whose
+    # norm_cfg omits eps (the FSD cluster/seg heads) run torch's 1e-5 —
+    # pass it explicitly there (caught by the executed detector
+    # transplants, round 5)
+    ln_eps: float = LN_EPS
 
     @nn.compact
     def __call__(self, x: jax.Array, *, train: bool = False) -> jax.Array:
@@ -252,7 +257,8 @@ class Mlp(nn.Module):
                 x = nn.Dense(c, use_bias=True, dtype=self.dtype)(x)
             else:
                 x = nn.Dense(c, use_bias=False, dtype=self.dtype)(x)
-                x = make_ln(f"LayerNorm_{i}")(x).astype(self.dtype)
+                x = make_ln(f"LayerNorm_{i}", self.ln_eps)(x).astype(
+                    self.dtype)
                 x = act(x)
                 if self.dropout > 0:
                     x = BarrierDropout(self.dropout)(x, deterministic=not train)

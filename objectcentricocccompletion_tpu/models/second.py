@@ -15,7 +15,14 @@ import jax
 
 
 def _norm():
-    return nn.GroupNorm(num_groups=16, epsilon=1e-3)
+    """GroupNorm at torch semantics for batchless [H, W, C] maps: flax's
+    GroupNorm treats the LEADING axis as batch, which on a single-sample
+    BEV map would compute per-row statistics — caught by the executed
+    CenterHead transplant (round 5). A leading singleton batch axis
+    restores per-sample (H, W, C/G) statistics; parameter names are
+    unchanged."""
+    gn = nn.GroupNorm(num_groups=16, epsilon=1e-3)
+    return lambda x: gn(x[None])[0] if x.ndim == 3 else gn(x)
 
 
 class SECOND(nn.Module):

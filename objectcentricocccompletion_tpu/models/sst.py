@@ -124,6 +124,12 @@ class WindowMSALayer(nn.Module):
     ffn_dim: int
     use_pallas: bool = False
     dtype: str | None = None
+    # FFN activation: the production SSTv2 runs GELU — EncoderLayer's own
+    # default is relu (sst_basic_block_v2.py:80) but SSTv2's ctor default
+    # activation="gelu" (sst_v2.py:38) is what the shipped configs
+    # (sst_refactor/*.py, which set no activation key) actually pass down.
+    # Caught by the full-stack transplant test (round 5).
+    act: str = "gelu"
 
     @nn.compact
     def __call__(self, tokens, pos, mask):
@@ -157,9 +163,12 @@ class WindowMSALayer(nn.Module):
         # VFE/occ norms whose configs pin eps=1e-3
         x = nn.LayerNorm(epsilon=1e-5, name="norm1")(tokens + out)
         f = nn.Dense(self.ffn_dim, dtype=dt, name="ffn1")(x.astype(dt))
-        # reference EncoderLayer default activation is relu
-        # (sst_basic_block_v2.py:80; the sst configs do not override it)
-        f = nn.Dense(d, dtype=dt, name="ffn2")(nn.relu(f))
+        if self.act == "gelu":
+            from .layers import _gelu_exact
+            f = _gelu_exact(f)
+        else:
+            f = nn.relu(f)
+        f = nn.Dense(d, dtype=dt, name="ffn2")(f)
         x = nn.LayerNorm(epsilon=1e-5, name="norm2")(x + f)
         return jnp.where(mask[..., None], x, 0.0)
 

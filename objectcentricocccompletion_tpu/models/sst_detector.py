@@ -53,8 +53,11 @@ class SSTDetector(nn.Module):
             x = nn.Conv(self.cfg.neck_channels, (3, 3),
                         kernel_dilation=(d, d), use_bias=False, dtype=dt,
                         name=f"dil{i}")(x)
-            # GroupNorm statistics stay float32 (promotion)
-            x = nn.GroupNorm(num_groups=16, epsilon=1e-3)(x).astype(dt)
+            # GroupNorm statistics stay float32 (promotion); [None]/[0]
+            # keeps torch per-sample (H, W, C/G) statistics on the
+            # unbatched BEV map
+            x = nn.GroupNorm(num_groups=16,
+                             epsilon=1e-3)(x[None])[0].astype(dt)
             x = nn.relu(x)
         return x
 

@@ -38,10 +38,16 @@ def cyclic_cosine_schedule(base_lr: float, total_steps: int,
 
 def _no_decay_mask(params):
     """True where weight decay applies: skip LayerNorm scales and biases
-    (reference paramwise_cfg custom_keys 'norm' decay_mult=0)."""
+    (reference paramwise_cfg custom_keys 'norm' decay_mult=0) and all
+    biases. Net effect on every model tree in this package: decay exactly
+    the 2D matmul kernels — the invariant the twin-training equivalence
+    test mirrors on the torch side (mmcv's name-substring matching would
+    additionally decay the occ decoder's ``ln`` scale, whose module is not
+    named "norm"; we treat every norm layer uniformly)."""
     def mask_fn(path, leaf):
         names = [getattr(p, "key", str(p)) for p in path]
-        in_norm = any("LayerNorm" in n or "norm" in n.lower() for n in names)
+        in_norm = any("LayerNorm" in n or "norm" in n.lower() or n == "ln"
+                      for n in names)
         is_bias = names and names[-1] == "bias"
         return not (in_norm or is_bias)
 

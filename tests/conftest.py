@@ -24,3 +24,8 @@ if os.environ.get("OCOCC_TEST_TPU") != "1":
     jax.config.update("jax_platforms", "cpu")
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def pytest_configure(config):
+    config.addinivalue_line(
+        "markers", "slow: long-running equivalence/training tests")

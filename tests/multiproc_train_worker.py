@@ -3,12 +3,22 @@ processes joined via jax.distributed, running ONE data-parallel train step
 over the global 2-device mesh (cross-process gradient psum — the
 reference's DDP allreduce, ``tools/dist_train.sh`` semantics).
 
+Env knobs:
+  OCOCC_FORCE_GLOBAL_BATCH  global tracklet batch (default nproc)
+  OCOCC_DEVICES_PER_PROC    virtual CPU devices per process (default 1)
+  OCOCC_MODEL_AXIS          >1 selects the hybrid DCN-outer/ICI-inner 2D
+                            mesh: 'data' spans processes, 'model' spans the
+                            in-process devices (tensor-parallel kernels via
+                            param_shardings at tp_min_dim=32)
+
 Usage: multiproc_train_worker.py <pid> <nproc> <port> <data_root> <out_dir>
 """
 import os
 import sys
 
-os.environ.setdefault("XLA_FLAGS", "--xla_force_host_platform_device_count=1")
+_DPP = int(os.environ.get("OCOCC_DEVICES_PER_PROC", "1"))
+os.environ.setdefault(
+    "XLA_FLAGS", f"--xla_force_host_platform_device_count={_DPP}")
 
 import jax  # noqa: E402
 
@@ -32,7 +42,8 @@ def main():
     from objectcentricocccompletion_tpu.data.tracklet_dataset import \
         TrackletDataset
     from objectcentricocccompletion_tpu.parallel.train import (
-        batch_sharding, create_train_state, make_mesh, make_train_step)
+        batch_sharding, create_train_state, make_mesh, make_mesh_2d,
+        make_train_step)
 
     cfg = tiny_config()
     ds = TrackletDataset(
@@ -49,9 +60,21 @@ def main():
     model, state, tx, _ = create_train_state(
         cfg, jax.random.PRNGKey(0), batch, total_steps=10)
 
-    mesh = make_mesh(jax.devices())    # all devices across all processes
-    assert jax.device_count() == gbs   # one tracklet per device
-    step = make_train_step(model, tx, mesh)
+    model_axis = int(os.environ.get("OCOCC_MODEL_AXIS", "1"))
+    if model_axis > 1:
+        # hybrid mesh: 'data' outer (across processes -> DCN), 'model'
+        # inner (the per-process devices -> ICI) — multihost.py's claimed
+        # topology. jax.devices() orders by process id, so the reshape in
+        # make_mesh_2d lands each process's devices on one data row.
+        data_axis = jax.device_count() // model_axis
+        assert data_axis == jax.process_count()
+        mesh = make_mesh_2d(data_axis, model_axis)
+        assert data_axis == gbs
+        step = make_train_step(model, tx, mesh, state=state, tp_min_dim=32)
+    else:
+        mesh = make_mesh(jax.devices())  # all devices across all processes
+        assert jax.device_count() == gbs   # one tracklet per device
+        step = make_train_step(model, tx, mesh)
 
     bsh = batch_sharding(mesh)
 

@@ -70,9 +70,53 @@ def _build_norm_layer(cfg, num_features, postfix=""):
     elif kind in ("BN1d", "naiveSyncBN1d", "SyncBN"):
         layer = nn.BatchNorm1d(
             num_features, eps=eps, momentum=cfg.get("momentum", 0.1))
+    elif kind in ("BN2d", "BN", "naiveSyncBN2d"):
+        layer = nn.BatchNorm2d(
+            num_features, eps=eps, momentum=cfg.get("momentum", 0.1))
+    elif kind == "GN":
+        layer = nn.GroupNorm(cfg.get("num_groups", 16), num_features,
+                             eps=eps)
     else:
         raise NotImplementedError(f"stub build_norm_layer: {kind}")
     return f"norm{postfix}", layer
+
+
+def _build_conv_layer(cfg, in_channels, out_channels, **kwargs):
+    """mmcv build_conv_layer for the Conv1d/Conv2d cases the reference
+    detector heads use."""
+    cfg = dict(cfg or {"type": "Conv2d"})
+    kind = cfg.pop("type")
+    cfg.update(kwargs)
+    if kind == "Conv2d":
+        return nn.Conv2d(in_channels, out_channels, **cfg)
+    if kind == "Conv1d":
+        return nn.Conv1d(in_channels, out_channels, **cfg)
+    raise NotImplementedError(f"stub build_conv_layer: {kind}")
+
+
+class _ConvModule(nn.Module):
+    """mmcv ConvModule (conv -> norm -> ReLU, bias='auto')."""
+
+    def __init__(self, in_channels, out_channels, kernel_size, stride=1,
+                 padding=0, bias="auto", conv_cfg=None, norm_cfg=None,
+                 **kwargs):
+        super().__init__()
+        with_norm = norm_cfg is not None
+        if bias == "auto":
+            bias = not with_norm
+        self.conv = _build_conv_layer(
+            conv_cfg or {"type": "Conv2d"}, in_channels, out_channels,
+            kernel_size=kernel_size, stride=stride, padding=padding,
+            bias=bias)
+        self.norm = (_build_norm_layer(norm_cfg, out_channels)[1]
+                     if with_norm else None)
+        self.activate = nn.ReLU(inplace=True)
+
+    def forward(self, x):
+        x = self.conv(x)
+        if self.norm is not None:
+            x = self.norm(x)
+        return self.activate(x)
 
 
 # pure-torch torch_scatter: segment reductions over int segment ids.
@@ -234,6 +278,9 @@ def load_reference():
         def __init__(self, init_cfg=None):
             super().__init__()
             self.init_cfg = init_cfg
+
+        def init_weights(self):
+            pass
 
     _mod("torch_scatter", scatter=_scatter, scatter_max=_scatter_max)
     _pkg("mmcv", load=None, dump=None)
@@ -576,3 +623,142 @@ def load_occ_annotate():
         sys.argv = argv
     _occ_annotate = mod
     return mod
+
+
+_sst_pipeline = None
+
+
+def load_sst_pipeline():
+    """Load the REAL SST window pipeline: ``SSTInputLayerV2`` (window
+    partition, drop levels, flat<->window index precompute, pos embed, key
+    masks) + the full ``SSTv2`` backbone with ``recover_bev``."""
+    global _sst_pipeline
+    if _sst_pipeline is not None:
+        return _sst_pipeline
+    refs = load_reference()
+    sys.modules["mmcv.cnn"].build_conv_layer = _build_conv_layer
+    ops = sys.modules["mmdet3d.ops"]
+    so = refs["sst_ops"]
+    ops.get_inner_win_inds = so.get_inner_win_inds
+    ops.make_continuous_inds = so.make_continuous_inds
+    ops.get_flat2win_inds_v2 = so.get_flat2win_inds_v2
+    ops.get_window_coors = so.get_window_coors
+    b = sys.modules["mmdet3d.models.builder"]
+    b.MIDDLE_ENCODERS = _Registry()
+    sys.modules["mmdet.models"].BACKBONES = _Registry()
+    _pkg("mmdet3d.models.middle_encoders")
+    _pkg("mmdet3d.models.backbones")
+    inp = _load("models/middle_encoders/sst_input_layer_v2.py",
+                "mmdet3d.models.middle_encoders.sst_input_layer_v2")
+    bk = _load("models/backbones/sst_v2.py",
+               "mmdet3d.models.backbones.sst_v2")
+    _sst_pipeline = {"input_layer": inp, "sst_v2": bk}
+    return _sst_pipeline
+
+
+_center_head = None
+
+
+def load_center_head():
+    """Load the reference ``CenterHead``/``SeparateHead``
+    (``dense_heads/centerpoint_head.py``). The transplant tests construct
+    it with norm_cfg=dict(type='GN', ...) — the documented TPU-side norm
+    substitution (SyncBN -> GroupNorm) — so both sides compute the same
+    function; conv geometry/bias/init are the reference's."""
+    global _center_head
+    if _center_head is not None:
+        return _center_head
+    load_reference()
+    mm = sys.modules["mmcv.cnn"]
+    mm.build_conv_layer = _build_conv_layer
+    mm.ConvModule = _ConvModule
+    core = sys.modules["mmdet3d.core"]
+    for name in ("circle_nms", "draw_heatmap_gaussian", "gaussian_radius"):
+        setattr(core, name, None)
+    core.xywhr2xyxyr = sys.modules[
+        "mmdet3d.core.bbox.structures.utils"].xywhr2xyxyr
+    _pkg("mmdet3d.models.utils",
+         clip_sigmoid=lambda x, eps=1e-4: torch.clamp(
+             x.sigmoid(), min=eps, max=1 - eps))
+    b = sys.modules["mmdet3d.models.builder"]
+    b.HEADS = _Registry()
+    _pkg("mmdet3d.models.dense_heads")
+    mod = _load("models/dense_heads/centerpoint_head.py",
+                "mmdet3d.models.dense_heads.centerpoint_head")
+
+    def _build_sep_head(cfg):
+        cfg = dict(cfg)
+        assert cfg.pop("type") == "SeparateHead"
+        cfg.pop("num_cls", None)
+        return mod.SeparateHead(**cfg)
+
+    b.build_head = _build_sep_head
+    _center_head = mod
+    return mod
+
+
+_seg_head = None
+
+
+def load_seg_head():
+    """Load the reference ``VoteSegHead`` (``decode_heads/
+    segmentation_head.py``). Pass norm_cfg=dict(type='LN', ...) at
+    construction for exact parity with our LN-by-design heads."""
+    global _seg_head
+    if _seg_head is not None:
+        return _seg_head
+    load_reference()
+    mm = sys.modules["mmcv.cnn"]
+    mm.normal_init = lambda m, mean=0, std=1, bias=0: None
+    _pkg("mmseg")
+    _pkg("mmseg.models")
+    _mod("mmseg.models.builder", build_loss=lambda cfg: None)
+    _pkg("mmdet.models.builder", build_loss=lambda cfg: None)
+    _pkg("mmdet3d.models.decode_heads")
+    _load("models/decode_heads/decode_head.py",
+          "mmdet3d.models.decode_heads.decode_head")
+    _seg_head = _load("models/decode_heads/segmentation_head.py",
+                      "mmdet3d.models.decode_heads.segmentation_head")
+    return _seg_head
+
+
+_cluster_head = None
+
+
+def load_cluster_head():
+    """Load the reference ``SparseClusterHead(V2)`` + ``FSDSeparateHead``
+    (``dense_heads/sparse_cluster_head{,_v2}.py``) — LN-normed MLP heads,
+    exactly transplantable."""
+    global _cluster_head
+    if _cluster_head is not None:
+        return _cluster_head
+    refs = load_reference()
+    core = sys.modules["mmdet3d.core"]
+
+    class _Plain:
+        def __init__(self, *a, **k):
+            pass
+
+    core.AssignResult = _Plain
+    core.PseudoSampler = _Plain
+    core.box3d_multiclass_nms = None
+    core.bbox_overlaps_3d = None
+    core.xywhr2xyxyr = refs["box_utils"].xywhr2xyxyr
+    core.LiDARInstance3DBoxes = refs["lidar_box3d"].LiDARInstance3DBoxes
+    b = sys.modules["mmdet3d.models.builder"]
+    b.build_loss = lambda cfg: None
+    _pkg("mmdet3d.models.dense_heads")
+    base = _load("models/dense_heads/sparse_cluster_head.py",
+                 "mmdet3d.models.dense_heads.sparse_cluster_head")
+    v2 = _load("models/dense_heads/sparse_cluster_head_v2.py",
+               "mmdet3d.models.dense_heads.sparse_cluster_head_v2")
+
+    def _build_fsd_sep_head(cfg):
+        cfg = dict(cfg)
+        assert cfg.pop("type") == "FSDSeparateHead"
+        return v2.FSDSeparateHead(**cfg)
+
+    b.build_head = _build_fsd_sep_head
+    v2.builder = b
+    _cluster_head = {"base": base, "v2": v2}
+    return _cluster_head

@@ -172,10 +172,11 @@ def _extract_params(head, E):
     }
 
 
-def _make_data():
+def _make_data(n_pos=N_POS, occ_score=OCC_SCORE):
     """Pooled geometry (injected identically on both sides) + GT/occ."""
     rng = np.random.default_rng(21)
     d = types.SimpleNamespace()
+    d.n_pos, d.occ_score = n_pos, np.asarray(occ_score, np.float32)
     d.pts_xyz = rng.uniform(-15, 15, (B, L, P, 3)).astype(np.float32)
     d.pts_feats = rng.standard_normal((B, L, P, F0)).astype(np.float32)
     mask = rng.uniform(size=(B, L, P)) < 0.8
@@ -203,14 +204,13 @@ def _make_data():
     gt[0, 1, 6] += np.pi
     gt_valid = np.zeros((B, L), bool)
     for b in range(B):
-        gt_valid[b, :N_POS[b]] = True
+        gt_valid[b, :n_pos[b]] = True
     gt[~gt_valid] = rois[~gt_valid]   # benign filler (masked in the loss)
     d.gt = gt.astype(np.float32)
     d.gt_valid = gt_valid
 
     d.occ_xyz = rng.uniform(-2.5, 2.5, (B, K_OCC, 3)).astype(np.float32)
     d.occ_lab = rng.integers(0, 2, (B, K_OCC)).astype(np.float32)
-    d.occ_score = np.asarray(OCC_SCORE, np.float32)
     return d
 
 
@@ -247,7 +247,7 @@ def _run_reference(head, d, iou_full):
     # sampling results: per-ts one2one assignment with a GT prefix
     srs = []
     for b in range(B):
-        n = N_POS[b]
+        n = d.n_pos[b]
         sr = types.SimpleNamespace()
         sr.pos_bboxes = torch.from_numpy(d.rois[b, :n])
         sr.pos_gt_bboxes = torch.from_numpy(d.gt[b, :n])

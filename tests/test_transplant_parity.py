@@ -704,7 +704,8 @@ def test_sst_encoder_layer_transplant(refs):
     through the real ``flat2window_v2``/``window2flat_v2`` machinery, vs
     ``models/sst.WindowMSALayer``. Pins: the packed in_proj q/k/v split,
     out_proj, q = k = x + pos with pos NOT added to v, key-padding masked
-    softmax, relu FFN, post-norm residual order, and LN eps 1e-5."""
+    softmax, the GELU FFN (SSTv2's ctor default, what the shipped configs
+    pass — sst_v2.py:38), post-norm residual order, and LN eps 1e-5."""
     from objectcentricocccompletion_tpu.models.sst import WindowMSALayer
     sst_ops = refs["sst_ops"]
     EncoderLayer = refs["sst_basic_block"].EncoderLayer
@@ -712,7 +713,7 @@ def test_sst_encoder_layer_transplant(refs):
     torch.manual_seed(0)
     C, H, FFN, T = 32, 4, 64, 12
     layer = EncoderLayer(C, H, dim_feedforward=FFN, dropout=0.0,
-                         activation="relu", mlp_dropout=0).eval()
+                         activation="gelu", mlp_dropout=0).eval()
 
     counts = [9, 12, 5, 1]
     N = sum(counts)

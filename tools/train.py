@@ -65,6 +65,9 @@ def main():
                         "sampling database")
     p.add_argument("--cpu", action="store_true",
                    help="force the CPU backend (smoke runs)")
+    p.add_argument("--dtype", default=None,
+                   help="compute-dtype override for the detector families "
+                        "(e.g. bfloat16 — the reference's fp16 analog)")
     # parallelism (ococcnet/ctrl): DP is implicit over all devices
     p.add_argument("--tp", type=int, default=1,
                    help="tensor-parallel size: [data, model] mesh, wide "
@@ -198,15 +201,23 @@ def main():
                                  with_yaw=args.dataset == "sunrgbd"))
         model = VoteNet(vc)
     elif args.model == "centerpoint":
+        import dataclasses
         from objectcentricocccompletion_tpu.models.centerpoint import (
             CenterPointConfig, DynamicCenterPoint, tiny_centerpoint_config)
-        model = DynamicCenterPoint(
-            tiny_centerpoint_config() if args.tiny else CenterPointConfig())
+        ccfg = tiny_centerpoint_config() if args.tiny else CenterPointConfig()
+        if args.dtype:
+            ccfg = dataclasses.replace(ccfg, encoder_dtype=args.dtype)
+        model = DynamicCenterPoint(ccfg)
     elif args.model == "sst":
+        import dataclasses
         from objectcentricocccompletion_tpu.models.sst_detector import (
             SSTDetector, SSTDetectorConfig, tiny_sst_detector_config)
-        model = SSTDetector(tiny_sst_detector_config() if args.tiny
-                            else SSTDetectorConfig())
+        scfg = tiny_sst_detector_config() if args.tiny \
+            else SSTDetectorConfig()
+        if args.dtype:
+            scfg = dataclasses.replace(scfg, sst=dataclasses.replace(
+                scfg.sst, compute_dtype=args.dtype))
+        model = SSTDetector(scfg)
     elif args.model == "fsd2":
         from objectcentricocccompletion_tpu.models.fsd_two_stage import (
             TwoStageFSD, TwoStageFSDConfig, tiny_two_stage_config,
@@ -221,6 +232,7 @@ def main():
         model = TwoStageWithLoss(tiny_two_stage_config() if args.tiny
                                  else TwoStageFSDConfig())
     else:   # fsd
+        import dataclasses
         from objectcentricocccompletion_tpu.models.fsd import (
             FSD, FSDConfig, fsd_loss, tiny_fsd_config)
 
@@ -229,7 +241,10 @@ def main():
                 out = self(points, mask)
                 return fsd_loss(out, points, gt_boxes, gt_labels, gt_valid)
 
-        model = FSDWithLoss(tiny_fsd_config() if args.tiny else FSDConfig())
+        fcfg = tiny_fsd_config() if args.tiny else FSDConfig()
+        if args.dtype:
+            fcfg = dataclasses.replace(fcfg, compute_dtype=args.dtype)
+        model = FSDWithLoss(fcfg)
     train_detector(model, ds, args.work_dir,
                    total_steps=args.total_steps or 1000,
                    ckpt_interval=args.ckpt_interval, seed=args.seed,
