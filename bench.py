@@ -61,18 +61,29 @@ def main():
     # math, measured LOSER (201 -> 129 t/s: per-param retiling copies at
     # the flat<->tree boundary; BENCH_NOTES round 4)
     flat = os.environ.get("BENCH_FLAT", "0") == "1"
+    # BENCH_STACKED=1 opts into the shape-grouped stacked optimizer —
+    # measured LOSER both ways (203 tree vs 193 params-stacked vs 188
+    # moments-stacked; BENCH_NOTES round 5), kept as an evidence-backed
+    # negative result like BENCH_FLAT
+    stacked = os.environ.get("BENCH_STACKED", "0") == "1" and not flat
     cpu = jax.devices("cpu")[0]
+    spec = None
     with jax.default_device(cpu):
-        model, state, tx, _ = create_train_state(
-            cfg, jax.random.PRNGKey(0), batch, total_steps=1000,
-            flat_opt=flat)
+        if stacked:
+            model, state, tx, _, spec = create_train_state(
+                cfg, jax.random.PRNGKey(0), batch, total_steps=1000,
+                stacked_opt=True)
+        else:
+            model, state, tx, _ = create_train_state(
+                cfg, jax.random.PRNGKey(0), batch, total_steps=1000,
+                flat_opt=flat)
     rng = jax.random.PRNGKey(1)
 
     state = jax.device_put(state)
     # BENCH_DONATE=1 donates the staged batch buffers (measured flat;
     # XLA reports them unusable for aliasing — BENCH_NOTES round 4)
     step = make_train_step(
-        model, tx, mesh, flat_opt=flat,
+        model, tx, mesh, flat_opt=flat, stacked_spec=spec,
         donate_batch=os.environ.get("BENCH_DONATE", "0") == "1")
 
     # Measure the production feeding pattern (what training actually does):

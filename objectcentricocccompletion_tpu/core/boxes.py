@@ -194,8 +194,13 @@ def rotated_bev_overlap(boxes1: jax.Array, boxes2: jax.Array) -> jax.Array:
         new_n = jnp.minimum(new_n, max_v)
         return (new_verts, new_n), None
 
+    # unroll=4: removes the device loop around 4 trips of tiny
+    # [pairs, 8, 2] tensors. Measured NEUTRAL on the flagship bench
+    # (202.2 vs 203.1 t/s, within run noise — the ~0.35 ms/step this line
+    # profiles at is the per-element argsort/gather chains, not loop
+    # overhead); kept for the smaller dispatch count.
     (verts, nvalid), _ = jax.lax.scan(
-        clip_by_edge, (verts, nvalid), jnp.arange(4)
+        clip_by_edge, (verts, nvalid), jnp.arange(4), unroll=4
     )
     area = _polygon_area(verts, nvalid, max_v)
     return jnp.where(nvalid >= 3, area, 0.0)

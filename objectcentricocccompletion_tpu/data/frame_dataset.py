@@ -144,7 +144,8 @@ class FrameDataset:
 
 def write_synthetic_frames(root: str, num_frames: int = 8,
                            num_points: int = 120000, num_boxes: int = 40,
-                           seed: int = 0) -> str:
+                           seed: int = 0, xy_range: float = 74.0,
+                           classes=("Car", "Pedestrian", "Cyclist")) -> str:
     """Write a file-backed synthetic KITTI-format frame dataset at
     production scale (point/box budgets of the Waymo configs), for
     sustained full-scale detector training without the real data
@@ -161,7 +162,8 @@ def write_synthetic_frames(root: str, num_frames: int = 8,
     rect = np.eye(4)
     trv2c = np.asarray([[0, -1, 0, 0], [0, 0, -1, 0],
                         [1, 0, 0, 0], [0, 0, 0, 1]], np.float64)
-    names_pool = ["Car", "Pedestrian", "Cyclist"]
+    names_pool = list(classes)
+    box_range = xy_range * (60.0 / 74.0)
     sizes = {"Car": (2.1, 4.8, 1.8), "Pedestrian": (0.9, 0.9, 1.7),
              "Cyclist": (0.85, 1.8, 1.7)}
     infos = []
@@ -169,14 +171,15 @@ def write_synthetic_frames(root: str, num_frames: int = 8,
         # ground + ambient returns across the full range
         n_bg = num_points - 64 * num_boxes
         bg = np.concatenate([
-            rng.uniform(-74, 74, (n_bg, 2)),
+            rng.uniform(-xy_range, xy_range, (n_bg, 2)),
             rng.uniform(-0.3, 0.3, (n_bg, 1)) - 1.7], -1)
         pts = [bg]
         names, locs, dims, rys = [], [], [], []
         for b in range(num_boxes):
-            name = names_pool[int(rng.randint(3))]
+            name = names_pool[int(rng.randint(len(names_pool)))]
             w, l, h = sizes[name]
-            ctr = np.array([rng.uniform(-60, 60), rng.uniform(-60, 60),
+            ctr = np.array([rng.uniform(-box_range, box_range),
+                            rng.uniform(-box_range, box_range),
                             rng.uniform(-1.8, -1.2)])
             yaw = rng.uniform(-np.pi, np.pi)
             local = rng.uniform(-0.45, 0.45, (64, 3)) * np.array([w, l, h])

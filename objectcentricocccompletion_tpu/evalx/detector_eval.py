@@ -158,7 +158,8 @@ def evaluate_detector_sequential(model, params, dataset, classes=("Car",),
 def evaluate_detector(model, family: str, params, dataset,
                       classes=("Car",), score_thresh: float = 0.1,
                       nms_iou: float = 0.25, max_frames: int | None = None,
-                      seed: int = 0, predict_fn=None) -> dict:
+                      seed: int = 0, predict_fn=None,
+                      iou_thresh: dict | None = None) -> dict:
     """Run the detector over every frame of ``dataset`` (a FrameDataset) and
     return KITTI AP_R40 per class/difficulty. GT difficulty derives from the
     kitti-format annos' image-plane box heights (``difficulty_from_annos``).
@@ -173,7 +174,7 @@ def evaluate_detector(model, family: str, params, dataset,
                                       seed, predict_fn):
         preds.append(pred)
         gts.append(gt)
-    return kitti_eval(preds, gts, classes=classes)
+    return kitti_eval(preds, gts, classes=classes, iou_thresh=iou_thresh)
 
 
 def _frame_results(model, family, params, dataset, score_thresh, nms_iou,
@@ -189,6 +190,9 @@ def _frame_results(model, family, params, dataset, score_thresh, nms_iou,
         s = dataset.build_sample(i, rng)
         b, sc, lb, ok = (np.asarray(x) for x in predict(
             params, s["points"], s["points_mask"]))
+        # CenterPoint decodes 9-dof boxes (velocity tail, reference
+        # CenterHead semantics); NMS/AP consume the 7-dof geometry
+        b = b[:, :7]
         m = ok & (sc > score_thresh) & np.isfinite(b).all(-1)
         b, sc, lb = b[m], sc[m], lb[m]
         if len(b):

@@ -191,11 +191,16 @@ def eval_class(pred_boxes_list, pred_scores_list, gt_boxes_list,
 
 
 def kitti_eval(predictions: list, ground_truths: list,
-               classes=("Car",)) -> dict:
+               classes=("Car",), iou_thresh: dict | None = None) -> dict:
     """predictions: per frame dict(boxes [N, 7], scores [N], labels [N]);
     ground_truths: per frame dict(boxes [M, 7], labels [M], difficulty [M]).
-    Returns {"<cls>_3d_<easy|moderate|hard>": AP_R40}."""
+    Returns {"<cls>_3d_<easy|moderate|hard>": AP_R40}.
+
+    ``iou_thresh`` overrides the official per-class match thresholds
+    (the reference's eval accepts custom overlap matrices the same way,
+    ``kitti_utils/eval.py`` min_overlaps)."""
     out = {}
+    thresh = {**IOU_THRESH, **(iou_thresh or {})}
     names = ["easy", "moderate", "hard"]
     for ci, cls in enumerate(classes):
         pb = [p["boxes"][p["labels"] == ci] for p in predictions]
@@ -205,6 +210,6 @@ def kitti_eval(predictions: list, ground_truths: list,
         ious = batch_pairwise_iou(pb, gb)   # shared across difficulties
         for d in (0, 1, 2):
             out[f"{cls}_3d_{names[d]}"] = eval_class(
-                pb, ps, gb, gd, d, IOU_THRESH.get(cls, 0.5),
+                pb, ps, gb, gd, d, thresh.get(cls, 0.5),
                 iou_list=ious)
     return out

@@ -119,7 +119,7 @@ def pack_groups_aligned(mask: jax.Array, budget: int,
                                (B, L, P)).reshape(B, L * P)
     seg_ids = jnp.where(
         slot_filled,
-        jnp.take_along_axis(seg_src, order.astype(jnp.int64), axis=-1),
+        jnp.take_along_axis(seg_src, order, axis=-1),
         L).astype(jnp.int32)
     # block segment: every block lies inside one frame by construction
     block_seg = seg_ids.reshape(B, budget // quantum, quantum)[:, :, 0]

@@ -51,6 +51,53 @@ def make_flat_opt_spec(params) -> FlatOptSpec:
     return FlatOptSpec(treedef, tuple(entries), dict(offs))
 
 
+class StackedOptSpec(NamedTuple):
+    """Layout of the parameter tree inside SHAPE-GROUPED stacked tensors:
+    every leaf of the same (decay-group, dtype, shape) lives at one slot of
+    a ``[count, *shape]`` stack. Unlike the flat two-vector layout (which
+    lost to tile relayout at the flat<->tree boundary, BENCH_NOTES r4),
+    stacking only adds a leading axis — the trailing dims keep their
+    (8, 128) tiling, so stack/unstack are plain copies and a parameter
+    sliced out of its stack fuses into its consumer. ``entries`` holds,
+    per tree leaf in flatten order: (group key, slot, shape, dtype)."""
+    treedef: Any
+    entries: tuple
+    groups: dict     # key -> (count, shape, dtype)
+
+
+def make_stacked_opt_spec(params) -> StackedOptSpec:
+    """Derivable from parameter shapes alone. Group key encodes the
+    weight-decay split (same :func:`_no_decay_mask` semantics as the tree
+    optimizer) so the stacked AdamW's per-group mask reproduces it."""
+    mask = _no_decay_mask(params)
+    leaves, treedef = jax.tree_util.tree_flatten(params)
+    decay_leaves = jax.tree_util.tree_leaves(mask)
+    counts: dict = {}
+    entries = []
+    for leaf, dec in zip(leaves, decay_leaves):
+        key = ("d" if dec else "n") + ":" + str(jnp.dtype(leaf.dtype)) \
+            + ":" + "x".join(str(int(s)) for s in leaf.shape)
+        slot = counts.get(key, 0)
+        counts[key] = slot + 1
+        entries.append((key, slot, tuple(leaf.shape), leaf.dtype))
+    groups = {key: (counts[key], shape, dt)
+              for key, _, shape, dt in entries}
+    return StackedOptSpec(treedef, tuple(entries), groups)
+
+
+def stack_by_spec(spec: StackedOptSpec, tree) -> dict:
+    leaves = spec.treedef.flatten_up_to(tree)
+    parts: dict = {k: [None] * c for k, (c, _, _) in spec.groups.items()}
+    for (key, slot, _, _), leaf in zip(spec.entries, leaves):
+        parts[key][slot] = leaf
+    return {k: jnp.stack(v) for k, v in parts.items()}
+
+
+def unstack_by_spec(spec: StackedOptSpec, stacked) -> Any:
+    leaves = [stacked[key][slot] for key, slot, _, _ in spec.entries]
+    return jax.tree_util.tree_unflatten(spec.treedef, leaves)
+
+
 def flatten_by_spec(spec: FlatOptSpec, tree):
     leaves = spec.treedef.flatten_up_to(tree)
     groups = {"decay": [], "nodecay": []}
@@ -192,7 +239,7 @@ def shrink_batch(batch: TrackletBatch, max_b: int = 1, max_l: int = 4,
 
 def create_train_state(cfg: OcOccNetConfig, rng: jax.Array,
                        sample_batch: TrackletBatch, total_steps: int,
-                       flat_opt: bool = False):
+                       flat_opt: bool = False, stacked_opt: bool = False):
     apply_ln_dtype(cfg)
     model = OcOccNetWithLoss(cfg)
     variables = model.init({"params": rng}, shrink_batch(sample_batch),
@@ -201,6 +248,24 @@ def create_train_state(cfg: OcOccNetConfig, rng: jax.Array,
     # fixed_ae: freeze the occupancy auto-encoder subtree (the reference's
     # OnlyGrad optimizer constructor used with a pretrained AE)
     frozen = ("ae_encoder",) if getattr(cfg, "fixed_ae", False) else ()
+    if stacked_opt and not frozen:
+        # Adam moments live as shape-grouped stacks; params stay a TREE
+        # (forward/checkpoint layout untouched). The step concats grads
+        # into the stacks (bandwidth-trivial at copy speed), runs the
+        # whole optax chain over ~a dozen leaves, and unstacks only the
+        # updates. Holding the params themselves stacked and slicing at
+        # trace time was measured SLOWER (203 -> 193 t/s: the backward
+        # pad-accumulates every leaf cotangent into the group buffers).
+        # Returns (model, state, tx, schedule, spec) — pass spec to
+        # make_train_step(..., stacked_spec=spec).
+        from ..training.optim import make_stacked_optimizer
+        tx, schedule = make_stacked_optimizer(
+            cfg.base_lr, total_steps, weight_decay=cfg.weight_decay,
+            grad_clip=cfg.grad_clip_norm, peak_ratio=cfg.lr_mult)
+        spec = make_stacked_opt_spec(params)
+        state = TrainState(jnp.zeros((), jnp.int32), params,
+                           tx.init(stack_by_spec(spec, params)))
+        return model, state, tx, schedule, spec
     if flat_opt and not frozen:
         # optimizer over two concatenated flat vectors (see
         # make_flat_optimizer): identical math, ~4x fewer HBM-bound
@@ -227,6 +292,7 @@ def make_train_step(model: OcOccNetWithLoss, tx, mesh: Mesh,
                     fsdp_min_size: int = 1 << 15,
                     sequence_parallel: bool = False,
                     flat_opt: bool = False,
+                    stacked_spec: StackedOptSpec | None = None,
                     donate_batch: bool = False):
     """Returns a jitted (state, batch, rng) -> (state, metrics) step: batch
     sharded over 'data'; params replicated on a 1D mesh, tensor-parallel
@@ -238,11 +304,12 @@ def make_train_step(model: OcOccNetWithLoss, tx, mesh: Mesh,
     long tracklets and big point budgets."""
     if sequence_parallel:
         assert "model" in mesh.axis_names, "SP needs a 'model' mesh axis"
-    if flat_opt:
-        # the flat vectors are replicated; sharded-state layouts (TP/FSDP)
-        # need per-leaf moments — use the tree optimizer there
+    if flat_opt or stacked_spec is not None:
+        # the flat/stacked layouts are replicated; sharded-state layouts
+        # (TP/FSDP) need per-leaf moments — use the tree optimizer there
         assert not fsdp and "model" not in mesh.axis_names, \
-            "flat_opt supports the replicated-params DP path only"
+            "flat_opt/stacked_opt support the replicated-params DP path " \
+            "only"
     bsh = batch_sharding(mesh)
     rsh = replicated(mesh)
     if state is not None and fsdp:
@@ -276,7 +343,18 @@ def make_train_step(model: OcOccNetWithLoss, tx, mesh: Mesh,
         finally:
             if sequence_parallel:
                 _sp.clear_sequence_parallel()
-        if flat_opt:
+        if stacked_spec is not None:
+            # stack grads/params into the shape groups (copies at byte
+            # speed), run the whole optax chain over ~a dozen stacked
+            # leaves, unstack only the updates
+            st_g = stack_by_spec(stacked_spec, grads)
+            updates, opt_state = tx.update(
+                st_g, state.opt_state,
+                stack_by_spec(stacked_spec, state.params))
+            params = optax.apply_updates(
+                state.params, unstack_by_spec(stacked_spec, updates))
+            grad_norm = optax.global_norm(st_g)
+        elif flat_opt:
             # spec is a function of traced leaf shapes only — free here
             spec = make_flat_opt_spec(state.params)
             flat_g = flatten_by_spec(spec, grads)

@@ -81,6 +81,28 @@ def make_flat_optimizer(base_lr: float, total_steps: int,
     return tx, schedule
 
 
+def make_stacked_optimizer(base_lr: float, total_steps: int,
+                           weight_decay: float = 0.05,
+                           grad_clip: float = 10.0,
+                           peak_ratio: float = 100.0):
+    """The same AdamW recipe over SHAPE-GROUPED stacked tensors (see
+    ``parallel.train.make_stacked_opt_spec``): a dict pytree whose leaves
+    are ``[count, *shape]`` stacks of same-shaped parameters. The ~90
+    per-leaf optimizer kernels collapse to one per shape group (~a dozen)
+    without the flat-vector layout's tile relayout. The decay mask is
+    carried in the group key ("d:..."/"n:...") — identical split to
+    :func:`_no_decay_mask`. Frozen subtrees are unsupported; use the tree
+    optimizer there."""
+    schedule = cyclic_cosine_schedule(base_lr, total_steps,
+                                      peak_ratio=peak_ratio)
+    tx = optax.chain(
+        optax.clip_by_global_norm(grad_clip),
+        optax.adamw(schedule, b1=0.9, b2=0.999, weight_decay=weight_decay,
+                    mask=lambda p: {k: k.startswith("d") for k in p}),
+    )
+    return tx, schedule
+
+
 def make_optimizer(base_lr: float, total_steps: int,
                    weight_decay: float = 0.05, grad_clip: float = 10.0,
                    peak_ratio: float = 100.0,

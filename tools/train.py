@@ -42,6 +42,8 @@ def main():
     p.add_argument("--work-dir", default="work_dirs/run")
     p.add_argument("--total-steps", type=int, default=None)
     p.add_argument("--ckpt-interval", type=int, default=1000)
+    p.add_argument("--log-interval", type=int, default=50,
+                   help="metrics.jsonl cadence (steps)")
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--no-resume", action="store_true")
     p.add_argument("--tiny", action="store_true",
@@ -129,7 +131,8 @@ def main():
             class_names=cfg.class_names)
         print(f"dataset: {len(ds)} tracklets")
         train(cfg, ds, args.work_dir, total_steps=args.total_steps,
-              ckpt_interval=args.ckpt_interval, seed=args.seed,
+              ckpt_interval=args.ckpt_interval,
+              log_interval=args.log_interval, seed=args.seed,
               resume=not args.no_resume, tp=args.tp, fsdp=args.fsdp,
               sequence_parallel=args.sequence_parallel,
               loader_workers=args.loader_workers)
@@ -247,7 +250,8 @@ def main():
         model = FSDWithLoss(fcfg)
     train_detector(model, ds, args.work_dir,
                    total_steps=args.total_steps or 1000,
-                   ckpt_interval=args.ckpt_interval, seed=args.seed,
+                   ckpt_interval=args.ckpt_interval,
+                   log_interval=args.log_interval, seed=args.seed,
                    resume=not args.no_resume)
 
 
