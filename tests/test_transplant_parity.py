@@ -770,3 +770,134 @@ def test_sst_encoder_layer_transplant(refs):
         np.testing.assert_allclose(got[i, :c], ref[off:off + c],
                                    atol=2e-5, rtol=2e-5)
         off += c
+
+
+# --------------------------------------- CTRL FullySparseBboxHead forward
+def test_ctrl_bbox_head_full_forward_transplant(refs, monkeypatch):
+    """The reference CTRL head — ``FullySparseBboxHead.forward``
+    (``fsd_bbox_head.py:145-232``: the 6-block SIR roi encoder feeding
+    conv_cls/conv_reg straight off ``final_cluster_feats``, no temporal
+    transformer, ``configs/ctrl/ctrl_veh_24e.py:97-134``) — executed
+    against OUR ``variant="ctrl"`` full ``OcOccNet.__call__`` with
+    transplanted weights. Same injected-pool protocol as the OccBBoxHead
+    full-forward test (identical 13-d geometry on both sides; kernel-frame
+    ``local_xyz`` absorbed into first-layer weights). Empty RoIs diverge
+    by design — the reference zeroes the head OUTPUTS via
+    ``align_roi_feature_and_rois`` while we zero the roi FEATURES — so the
+    comparison covers nonempty rois and pins the nonempty masks equal."""
+    import dataclasses
+
+    from refstub import load_occ_ae_head, load_bbox_heads
+    load_occ_ae_head()
+    heads = load_bbox_heads()
+    # the ctrl head builds its coder at __init__ (the refstub repoints
+    # this only inside the ococc module)
+    heads["fsd_bbox_head"].build_bbox_coder = \
+        lambda _cfg: refs["coder"].DeltaXYZWLHRBBoxCoder(code_size=7)
+
+    from objectcentricocccompletion_tpu.configs.ococcnet_config import (
+        tiny_config)
+    from objectcentricocccompletion_tpu.models import ococcnet as oc
+    from objectcentricocccompletion_tpu.ops.roi_pool import RoiPoolInfo
+
+    B, L, P, F0 = 2, 4, 24, 2
+    NB, FC = 2, (16, 32)
+    RFC = NB * sum(FC)
+    G = B * L
+    torch.manual_seed(23)
+
+    head = heads["fsd_bbox_head"].FullySparseBboxHead(
+        num_classes=1, num_blocks=NB,
+        in_channels=[3 + (F0 + 1) + 13] + [3 + FC[-1] + 13] * (NB - 1),
+        feat_channels=[list(FC) for _ in range(NB)],
+        rel_mlp_hidden_dims=[[8, 16] for _ in range(NB)],
+        rel_mlp_in_channels=[13] * NB,
+        reg_mlp=[16], cls_mlp=[16], mode="max", xyz_normalizer=[20, 20, 4],
+        act="gelu", geo_input=True,
+        bbox_coder=dict(type="DeltaXYZWLHRBBoxCoder"),
+        norm_cfg=dict(type="LN", eps=1e-3), unique_once=True,
+        dropout=0, cls_dropout=0, reg_dropout=0).eval()
+
+    rng = np.random.default_rng(29)
+    pts_xyz = rng.uniform(-15, 15, (B, L, P, 3)).astype(np.float32)
+    pts_feats = rng.standard_normal((B, L, P, F0)).astype(np.float32)
+    mask = rng.uniform(size=(B, L, P)) < 0.8
+    mask[:, :, :2] = True
+    mask[1, 2, :] = False                       # one empty RoI
+    local = rng.uniform(-2.5, 2.5, (B, L, P, 3)).astype(np.float32)
+    boundary = rng.uniform(0, 4, (B, L, P, 6)).astype(np.float32)
+    margin = (rng.uniform(size=(B, L, P)) < 0.3).astype(np.float32)
+    rois = np.zeros((B, L, 7), np.float32)
+    rois[..., :3] = rng.uniform(-10, 10, (B, L, 3))
+    rois[..., 3:6] = rng.uniform(1.5, 5, (B, L, 3))
+    rois[..., 6] = rng.uniform(-np.pi, np.pi, (B, L))
+    scores = rng.uniform(0.3, 1, (B, L)).astype(np.float32)
+    rel = pts_xyz - rois[:, :, None, :3]
+
+    sel = mask.reshape(-1)
+    roi_inds = np.repeat(np.arange(G), P)[sel]
+    fx = pts_xyz.reshape(-1, 3)[sel]
+    ff = pts_feats.reshape(-1, F0)[sel]
+    fscore = scores.reshape(G)[roi_inds][:, None].astype(np.float32)
+    flocal = local.reshape(-1, 3)[sel]
+    fbound = boundary.reshape(-1, 6)[sel]
+    fmargin = margin.reshape(-1)[sel]
+
+    rot = refs["box_utils"].rotation_3d_in_axis
+    neg = torch.tensor([-np.pi / 2])
+    E = rot(torch.eye(3, dtype=torch.float64)[None], neg.double(),
+            axis=2).squeeze(0).numpy().round().astype(np.float32)
+    local_ref = flocal @ E
+
+    pts_info = {"local_xyz": torch.from_numpy(local_ref),
+                "boundary_offset": torch.from_numpy(fbound),
+                "is_in_margin": torch.from_numpy(fmargin)}
+    rois_t = torch.from_numpy(np.concatenate(
+        [np.repeat(np.arange(B), L)[:, None].astype(np.float32),
+         rois.reshape(G, 7)], -1))
+    with torch.no_grad():
+        cls_ref, reg_ref, nonempty_ref = head(
+            torch.from_numpy(fx),
+            torch.from_numpy(np.concatenate([ff, fscore], -1)),
+            pts_info, torch.from_numpy(roi_inds), rois_t)
+
+    cfg = dataclasses.replace(
+        tiny_config(), variant="ctrl", batch_size=B, reg_len=L,
+        max_points_per_frame=P, num_blocks=NB, feat_channels=FC,
+        rel_mlp_hidden=(8, 16), d_model=RFC, cls_mlp=(16,), reg_mlp=(16,),
+        cls_dropout=0.0, reg_dropout=0.0, packed_point_budget=None,
+        roi_point_budget=None, xyz_normalizer=(20.0, 20.0, 4.0))
+
+    pool = RoiPoolInfo(jnp.asarray(mask), jnp.asarray(local),
+                       jnp.asarray(boundary), jnp.asarray(margin),
+                       jnp.asarray(rel))
+    monkeypatch.setattr(oc.rp, "roi_pool", lambda *a, **k: pool)
+
+    params = {
+        "roi_encoder": {
+            f"block_{i}": _absorb_geo_rotation(
+                _sir_block_params(head.block_list[i]), E,
+                3 + ((F0 + 1) if i == 0 else FC[-1]))
+            for i in range(NB)},
+        "conv_cls": _mlp_params(head.conv_cls),
+        "conv_reg": _mlp_params(head.conv_reg),
+    }
+
+    batch = oc.TrackletBatch(
+        points=jnp.asarray(np.concatenate([pts_xyz, pts_feats], -1)),
+        points_mask=jnp.asarray(mask), rois=jnp.asarray(rois),
+        roi_scores=jnp.asarray(scores),
+        frame_inds=jnp.asarray(np.tile(np.arange(L), (B, 1))),
+        gt_boxes=jnp.zeros((B, L, 7)), gt_valid=jnp.zeros((B, L), bool),
+        occ_points=jnp.zeros((B, 4, 3)), occ_labels=jnp.zeros((B, 4)),
+        occ_mask=jnp.zeros((B, 4), bool), occ_score=jnp.zeros((B,)))
+    out = oc.OcOccNet(cfg).apply({"params": params}, batch, train=False)
+
+    ne = np.asarray(out["nonempty"]).reshape(G)
+    np.testing.assert_array_equal(ne, nonempty_ref.numpy())
+    np.testing.assert_allclose(
+        np.asarray(out["cls_logit"]).reshape(G)[ne],
+        cls_ref.numpy()[:, 0][ne], atol=2e-4, rtol=1e-3)
+    np.testing.assert_allclose(
+        np.asarray(out["bbox_pred"]).reshape(G, 7)[ne],
+        reg_ref.numpy()[ne], atol=2e-4, rtol=1e-3)
