@@ -80,34 +80,54 @@ def main():
     rng = jax.random.PRNGKey(1)
 
     state = jax.device_put(state)
+    # BENCH_SCAN=K runs K optimizer steps per dispatch via lax.scan
+    # (parallel.train.make_train_multi_step) — amortizes the ~1 ms/step
+    # host dispatch latency of the tunnel to 1/K
+    scan_k = int(os.environ.get("BENCH_SCAN", "0"))
     # BENCH_DONATE=1 donates the staged batch buffers (measured flat;
     # XLA reports them unusable for aliasing — BENCH_NOTES round 4)
-    step = make_train_step(
-        model, tx, mesh, flat_opt=flat, stacked_spec=spec,
-        donate_batch=os.environ.get("BENCH_DONATE", "0") == "1")
+    if scan_k:
+        from objectcentricocccompletion_tpu.parallel.train import \
+            make_train_multi_step
+        step = make_train_multi_step(
+            model, tx, mesh,
+            unroll=os.environ.get("BENCH_SCAN_UNROLL", "0") == "1")
+    else:
+        step = make_train_step(
+            model, tx, mesh, flat_opt=flat, stacked_spec=spec,
+            donate_batch=os.environ.get("BENCH_DONATE", "0") == "1")
 
     # Measure the production feeding pattern (what training actually does):
     # a fresh host batch is staged to device every step, overlapping the
     # previous step's compute.
     host_batches = [synthetic_batch(cfg, batch_size=global_batch, seed=s)
                     for s in range(4)]
+    if scan_k:
+        import numpy as np
+        host_batches = [
+            type(b)(*(np.stack([np.asarray(x)] * scan_k) for x in b))
+            for b in host_batches]
 
     # warmup: first call compiles; a further batch of steps lets the
     # runtime/interconnect reach steady state before timing (measured: the
     # first ~tens of steps after compile run well below steady throughput)
     warmup = int(os.environ.get("BENCH_WARMUP", "30"))
-    for i in range(warmup):
-        batch = shard_batch(host_batches[i % len(host_batches)], mesh)
+    for i in range(max(1, warmup // (scan_k or 1))):
+        batch = shard_batch(host_batches[i % len(host_batches)], mesh,
+                            scan_axis=bool(scan_k))
         state, aux = step(state, batch, rng)
     jax.block_until_ready(aux["loss"])
 
     iters = int(os.environ.get("BENCH_ITERS", "50"))
+    if scan_k:
+        iters = max(1, iters // scan_k)
     t0 = time.perf_counter()
     for i in range(iters):
-        batch = shard_batch(host_batches[i % len(host_batches)], mesh)
+        batch = shard_batch(host_batches[i % len(host_batches)], mesh,
+                            scan_axis=bool(scan_k))
         state, aux = step(state, batch, rng)
     jax.block_until_ready(aux["loss"])
-    dt = (time.perf_counter() - t0) / iters
+    dt = (time.perf_counter() - t0) / (iters * (scan_k or 1))
 
     tracklets_per_sec = global_batch / dt
     per_chip = tracklets_per_sec / n_dev

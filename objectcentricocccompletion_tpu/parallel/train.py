@@ -385,6 +385,70 @@ def make_train_step(model: OcOccNetWithLoss, tx, mesh: Mesh,
     )
 
 
+def make_train_multi_step(model: OcOccNetWithLoss, tx, mesh: Mesh,
+                          state: TrainState | None = None,
+                          tp_min_dim: int = 1024, fsdp: bool = False,
+                          fsdp_min_size: int = 1 << 15,
+                          unroll: bool | int = False):
+    """Multi-step training: one jitted call runs ``lax.scan`` over a
+    [K, ...]-stacked batch pytree, returning the state after K optimizer
+    steps and the per-step metrics stacked [K].
+
+    Rationale: the flagship device step is ~19 ms while the host pays
+    ~1 ms/step of dispatch latency (Python pytree flatten + tunnel RPC per
+    call). Grouping K steps into one dispatch amortizes that to ~1/K —
+    the standard JAX "training loop inside jit" pattern. The inner step
+    body is identical to :func:`make_train_step`'s tree-optimizer path
+    (same loss, same dropout stream: the PRNG folds in ``state.step``
+    which increments through the scan, so step k of a scanned call sees
+    the same mask draws as step k of k separate calls; numerics match up
+    to the usual separately-compiled-program fusion noise —
+    ``tests/test_multi_step.py``).
+
+    The batch arrays carry a leading scan axis: [K, B, ...] with B sharded
+    over 'data' as usual. Callers stage K micro-batches at once (the
+    loader already prefetches ahead)."""
+    bsh = NamedSharding(mesh, P(None, "data"))
+    rsh = replicated(mesh)
+    if state is not None and fsdp:
+        state_sh = TrainState(
+            rsh, param_shardings_fsdp(state.params, mesh,
+                                      min_size=fsdp_min_size),
+            param_shardings_fsdp(state.opt_state, mesh,
+                                 min_size=fsdp_min_size))
+    elif state is not None and "model" in mesh.axis_names:
+        state_sh = TrainState(
+            rsh, param_shardings(state.params, mesh, tp_min_dim),
+            param_shardings(state.opt_state, mesh, tp_min_dim))
+    else:
+        state_sh = rsh
+
+    def multi_fn(state: TrainState, batches: TrackletBatch, rng: jax.Array):
+        def body(state, batch):
+            def loss_fn(params):
+                return model.apply(
+                    {"params": params}, batch, train=True,
+                    rngs={"dropout": jax.random.fold_in(rng, state.step)})
+
+            (loss, aux), grads = jax.value_and_grad(
+                loss_fn, has_aux=True)(state.params)
+            updates, opt_state = tx.update(grads, state.opt_state,
+                                           state.params)
+            params = optax.apply_updates(state.params, updates)
+            aux = dict(aux, grad_norm=optax.global_norm(grads))
+            return TrainState(state.step + 1, params, opt_state), aux
+
+        return jax.lax.scan(body, state, batches, unroll=unroll)
+
+    return jax.jit(
+        multi_fn,
+        in_shardings=(state_sh, jax.tree_util.tree_map(
+            lambda _: bsh, _batch_struct()), rsh),
+        out_shardings=(state_sh, rsh),
+        donate_argnums=(0,),
+    )
+
+
 def make_eval_step(model: OcOccNetWithLoss, mesh: Mesh):
     bsh = batch_sharding(mesh)
     rsh = replicated(mesh)
@@ -404,6 +468,11 @@ def _batch_struct():
     return TrackletBatch(*range(len(TrackletBatch._fields)))
 
 
-def shard_batch(batch: TrackletBatch, mesh: Mesh) -> TrackletBatch:
-    bsh = batch_sharding(mesh)
+def shard_batch(batch: TrackletBatch, mesh: Mesh,
+                scan_axis: bool = False) -> TrackletBatch:
+    """Stage a batch onto the mesh, sharded over 'data'. With
+    ``scan_axis=True`` the arrays carry a leading [K] scan axis (see
+    :func:`make_train_multi_step`) and shard over their SECOND dim."""
+    bsh = (NamedSharding(mesh, P(None, "data")) if scan_axis
+           else batch_sharding(mesh))
     return jax.tree_util.tree_map(lambda x: jax.device_put(x, bsh), batch)
