@@ -901,3 +901,46 @@ def test_ctrl_bbox_head_full_forward_transplant(refs, monkeypatch):
     np.testing.assert_allclose(
         np.asarray(out["bbox_pred"]).reshape(G, 7)[ne],
         reg_ref.numpy()[ne], atol=2e-4, rtol=1e-3)
+
+
+# --------------------------------------- CTRL corner loss (executed)
+def test_corner_loss_executed_parity():
+    """The CTRL-variant corner loss (``OcOccNetWithLoss``, mirroring
+    ``FullySparseBboxHead.get_corner_loss_lidar``, ``fsd_bbox_head.py:
+    691-726``: per-corner min over the GT heading flip, huber delta=1,
+    mean over the positives' (N, 8) corner distances) — executed against
+    the REFERENCE method on the same decoded boxes. Pins the corner
+    geometry conventions (bottom-center origin, yaw sign), the per-corner
+    (not per-box) flip min, the huber form, and the mean semantics; the
+    pairing itself is permutation-invariant so corner ORDER need not
+    match, but origin/axis conventions must."""
+    import dataclasses
+
+    from refstub import load_bbox_heads
+    from objectcentricocccompletion_tpu.configs import tiny_config
+    from objectcentricocccompletion_tpu.models import OcOccNetWithLoss
+
+    from test_model import make_batch
+
+    heads = load_bbox_heads()
+    FSB = heads["fsd_bbox_head"].FullySparseBboxHead
+
+    cfg = dataclasses.replace(tiny_config(), variant="ctrl",
+                              corner_loss_weight=1.0)
+    batch = make_batch(cfg, seed=11)   # all points valid, all gt valid
+    model = OcOccNetWithLoss(cfg)
+    variables = model.init({"params": jax.random.PRNGKey(0)}, batch,
+                           train=False)
+    _, aux = model.apply(variables, batch, train=False)
+    pred = model.apply({"params": variables["params"]}, batch,
+                       method=OcOccNetWithLoss.predict)
+
+    # every RoI is a positive here (nonempty & gt_valid), so the loss's
+    # masked mean equals the reference's plain .mean() over (N, 8)
+    pred_boxes = np.asarray(pred["boxes"], np.float32).reshape(-1, 7)
+    gt_boxes = np.asarray(batch.gt_boxes, np.float32).reshape(-1, 7)
+    with torch.no_grad():
+        ref = FSB.get_corner_loss_lidar(None, torch.from_numpy(pred_boxes),
+                                        torch.from_numpy(gt_boxes))
+    np.testing.assert_allclose(float(aux["loss_rcnn_corner"]), float(ref),
+                               rtol=2e-5)
