@@ -944,3 +944,89 @@ def test_corner_loss_executed_parity():
                                         torch.from_numpy(gt_boxes))
     np.testing.assert_allclose(float(aux["loss_rcnn_corner"]), float(ref),
                                rtol=2e-5)
+
+
+# --------------------------------------- online test-time tuning (executed)
+def test_online_tuning_executed_parity(refs):
+    """The online test-time tuning inner loop — reference
+    ``OccAutoEncoder.online_tuning_forward`` (``occ_ae_head.py:346-391``:
+    torch Adam lr 0.01 on the detached latent, sigmoid-BCE on the decoded
+    observation samples, StepLR a no-op below 1000 iters) — executed
+    against our ``evalx.online_tuning.tune_latent`` with the decoder
+    weights transplanted. Pins the Adam hyperparameters (betas/eps), the
+    objective up to scale (the reference means over ALL samples, we mean
+    over VALID ones — Adam's m/sqrt(v) normalization makes the trajectory
+    scale-invariant, checked here by the weighted variant), and the decode
+    chain the inner gradient flows through."""
+    from refstub import MMDetBCELoss, load_occ_ae_head
+    from objectcentricocccompletion_tpu.evalx.online_tuning import (
+        tune_latent)
+    from objectcentricocccompletion_tpu.models.occ_decoder import OccDecoder
+
+    ae_mod = load_occ_ae_head()
+    torch.manual_seed(23)
+    D, L, mlp = 48, 10, [32, 24]
+    NB, FC = 1, (8, 8)
+    ae = ae_mod.OccAutoEncoder(
+        backbone=dict(
+            type="SIR", num_blocks=NB, in_channels=[15],
+            feat_channels=[list(FC)],
+            rel_mlp_hidden_dims=[[8, 8]], with_rel_mlp=True,
+            with_distance=False, with_cluster_center=False,
+            norm_cfg=dict(type="LN", eps=1e-3), mode="max",
+            xyz_normalizer=[1, 1, 1], act="gelu", dropout=0,
+            unique_once=True),
+        voxel_size=0.4,
+        loss_occ_ae=dict(type="CrossEntropyLoss", reduction="none",
+                         use_sigmoid=True, loss_weight=1.0),
+        occ_decoder=dict(roi_feature_channels=D, occ_mlp=mlp,
+                         use_positional_encoding=True, pos_encode_L=L,
+                         norm_pos=True, norm_cfg=dict(type="LN", eps=1e-3),
+                         act="gelu", occ_dropout=0.0, cls_dim=1,
+                         pos_thresh=0.5, use_ln=True)).eval()
+    ae.loss_occ_ae = MMDetBCELoss(reduction="none", loss_weight=1.0)
+    assert ae.loss_need_squeeze
+
+    K, Q, ITERS = 5, 16, 5
+    rng = np.random.default_rng(29)
+    lat = rng.standard_normal((K, D)).astype(np.float32)
+    xyz = (rng.uniform(-4, 4, (K, Q, 3))).astype(np.float32)
+    labels = (rng.uniform(size=(K, Q)) < 0.5).astype(np.float32)
+    weights = (rng.uniform(size=(K, Q)) < 0.7).astype(np.float32)
+    roi_inds = torch.arange(K).repeat_interleave(Q)
+
+    dec = ae.occ_decoder
+    pos_dim = 2 * L * 3  # noqa: F841 — decoder layout, see decoder test
+    blk0, blk1, head = dec.conv_occ[0], dec.conv_occ[1], dec.conv_occ[2]
+    w0 = _t2j(blk0[0].weight)
+    params = {
+        "ln": _ln(dec.ln),
+        "in_latent": {"kernel": w0[:, :D].T},
+        "in_pos": {"kernel": w0[:, D:].T},
+        "in_norm": _ln(blk0[1]),
+        "mlp": {
+            "Dense_0": _lin(blk1[0], bias=False),
+            "LayerNorm_0": _ln(blk1[1]),
+            "Dense_1": _lin(head, bias=True),
+        },
+    }
+    m = OccDecoder(mlp_dims=tuple(mlp), num_freqs=L, act="gelu",
+                   dropout=0.0)
+
+    def decode_fn(latent, queries):
+        return m.apply({"params": params}, latent, queries)
+
+    for w in (np.ones_like(labels), weights):
+        ref_tuned = ae.online_tuning_forward(
+            torch.from_numpy(lat), torch.from_numpy(xyz.reshape(-1, 3)),
+            torch.from_numpy(labels.reshape(-1)),
+            torch.from_numpy(w.reshape(-1)), roi_inds,
+            num_ttt_iter=ITERS).detach().numpy()
+        got = np.asarray(tune_latent(
+            decode_fn, jnp.asarray(lat), jnp.asarray(xyz),
+            jnp.asarray(labels), jnp.asarray(w), num_iters=ITERS,
+            lr=0.01))
+        # the latents move by O(iters * lr) = 0.05; demand agreement well
+        # below one Adam step
+        np.testing.assert_allclose(got, ref_tuned, atol=2e-4)
+        assert np.abs(ref_tuned - lat).max() > 1e-2   # tuning DID move it
