@@ -5,7 +5,9 @@ Rebuild of the reference TTA path (``configs/ococc/ococcnet.py:314-360``
 (``lidar_tracklet.py:554``) / ``inverse_aug``
 (``tracklet_roi_head_occ.py:746-757``)): run the model on the identity and
 flipped variants of a batch, invert each prediction back to the original
-frame, and average centers/sizes/scores with heading-aware yaw merging.
+frame, and merge — by default with the reference's shipped ``'weighted'``
+semantics (score-weighted geometry mean + median yaw), optionally with a
+heading-vector mean (``merge='vector'``).
 """
 from __future__ import annotations
 
@@ -47,10 +49,28 @@ def unflip_boxes(boxes: jax.Array, fh: bool, fv: bool) -> jax.Array:
     return boxes
 
 
+def merge_boxes_weighted(box_list: list, score_list: list) -> tuple:
+    """The reference's shipped ``merge='weighted'`` semantics
+    (``LiDARTracklet.merge_augs``, ``lidar_tracklet.py:568-578``, enabled
+    by ``configs/ctrl/ctrl_veh_24e.py:158-160``): score-weighted mean of
+    the 6 geometry dims, MEDIAN yaw across augs ("in case of flip"), and
+    the plain mean of scores. Executed-parity vs the reference method in
+    ``tests/test_serialization_parity.py``."""
+    all_boxes = jnp.stack(box_list)           # [A, ..., 7]
+    all_scores = jnp.stack(score_list)        # [A, ...]
+    geom = (jnp.sum(all_boxes[..., :6] * all_scores[..., None], 0)
+            / jnp.sum(all_scores, 0)[..., None])
+    yaw = jnp.median(all_boxes[..., 6], axis=0)
+    boxes = jnp.concatenate([geom, yaw[..., None]], -1)
+    return boxes, jnp.mean(all_scores, 0)
+
+
 def merge_boxes(box_list: list, score_list: list) -> tuple:
-    """Average aligned predictions: centers/sizes mean; yaw via the
-    heading-vector mean (sin, cos) anchored to the first prediction's
-    orientation to avoid 180-degree cancellation; scores mean."""
+    """Redesigned merge (``merge='vector'``): centers/sizes unweighted
+    mean; yaw via the heading-vector mean (sin, cos) anchored to the first
+    prediction's orientation to avoid 180-degree cancellation; scores
+    mean. Unlike the reference's median-yaw 'weighted' mode this is
+    continuous in the inputs; kept as the non-default alternative."""
     ref = box_list[0]
     sins, coss = [], []
     for b in box_list:
@@ -68,9 +88,10 @@ def merge_boxes(box_list: list, score_list: list) -> tuple:
 
 
 def predict_tta(apply_fn, batch: TrackletBatch,
-                flips=FLIPS) -> dict:
+                flips=FLIPS, merge: str = "weighted") -> dict:
     """apply_fn(batch) -> dict with 'boxes' [B, L, 7], 'scores', 'nonempty'.
-    Runs each flip variant and merges."""
+    Runs each flip variant and merges. ``merge``: 'weighted' (default —
+    the reference's shipped mode) or 'vector' (heading-vector mean)."""
     box_list, score_list = [], []
     base = None
     for fh, fv in flips:
@@ -79,5 +100,6 @@ def predict_tta(apply_fn, batch: TrackletBatch,
         score_list.append(out["scores"])
         if base is None:
             base = out
-    boxes, scores = merge_boxes(box_list, score_list)
+    merge_fn = merge_boxes_weighted if merge == "weighted" else merge_boxes
+    boxes, scores = merge_fn(box_list, score_list)
     return dict(base, boxes=boxes, scores=scores)

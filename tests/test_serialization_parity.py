@@ -331,3 +331,34 @@ def test_flat2window_roundtrip_vs_reference(refs):
         members = np.nonzero(ours_win == wid)[0]
         assert (np.sort(ranks[members]) == np.arange(len(members))).all()
         assert (np.argsort(ranks[members]) == np.arange(len(members))).all()
+
+
+def test_merge_augs_weighted_executed(refs):
+    """TTA merge — the REFERENCE ``LiDARTracklet.merge_augs`` with the
+    shipped ``merge='weighted'`` cfg (``ctrl_veh_24e.py:158-160``:
+    score-weighted 6-dim geometry mean, median yaw, mean scores) vs our
+    ``evalx.tta.merge_boxes_weighted`` on identical aug predictions."""
+    from objectcentricocccompletion_tpu.evalx.tta import (
+        merge_boxes_weighted)
+    import jax.numpy as jnp
+
+    rng = np.random.RandomState(11)
+    A, T = 4, 9
+    boxes = [_rand_boxes(rng, T) for _ in range(A)]
+    scores = [(rng.rand(T) + 0.1).astype(np.float32) for _ in range(A)]
+    LT = refs["lidar_tracklet"].LiDARTracklet
+    trks = []
+    for a in range(A):
+        trk = _make_ref_tracklet(refs, boxes[a], [np.eye(4)] * T,
+                                 scores=list(scores[a]))
+        # merge_augs consumes numpy [1, 7] rows in box_list
+        trk.box_list = [boxes[a][i:i + 1] for i in range(T)]
+        trks.append(trk)
+    merged = LT.merge_augs(trks, {"merge": "weighted"})
+    ref_boxes = np.concatenate(merged.box_list, 0)
+    ref_scores = np.asarray(merged.score_list, np.float32)
+
+    got_b, got_s = merge_boxes_weighted(
+        [jnp.asarray(b) for b in boxes], [jnp.asarray(s) for s in scores])
+    np.testing.assert_allclose(np.asarray(got_b), ref_boxes, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(got_s), ref_scores, atol=1e-6)
