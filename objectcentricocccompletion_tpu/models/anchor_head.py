@@ -27,6 +27,12 @@ from ..core import coder
 @dataclasses.dataclass(frozen=True)
 class AnchorConfig:
     sizes: Sequence[Sequence[float]] = ((2.08, 4.73, 1.77),)
+    # per-size anchor z, stored in the anchor AS-IS (the delta coder treats
+    # box z as the BOTTOM, so this is the anchor's bottom z — exactly the
+    # reference's per-class range-z, e.g. -0.0345 for the Waymo car range
+    # ``sst_base.py:21``). An earlier revision subtracted h/2 here,
+    # sinking the car anchor prior 0.885 below the reference's; caught by
+    # the executed generator parity test.
     z_centers: Sequence[float] = (-0.0345,)
     rotations: Sequence[float] = (0.0, 1.5707963)
     pos_iou_thr: float = 0.55
@@ -48,7 +54,7 @@ def generate_anchors(hw: tuple, pc_range, cfg: AnchorConfig) -> jax.Array:
             a = np.zeros((W, H, 7), np.float32)
             a[..., 0] = gx
             a[..., 1] = gy
-            a[..., 2] = zc - size[2] / 2  # bottom center
+            a[..., 2] = zc               # bottom z, stored as configured
             a[..., 3:6] = size
             a[..., 6] = rot
             out.append(a.reshape(-1, 7))

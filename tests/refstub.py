@@ -762,3 +762,23 @@ def load_cluster_head():
     v2.builder = b
     _cluster_head = {"base": base, "v2": v2}
     return _cluster_head
+
+
+_anchor_gen = None
+
+
+def load_anchor_generator():
+    """Load the reference ``AlignedAnchor3DRangeGenerator``
+    (``core/anchor/anchor_3d_generator.py``) — pure torch behind an
+    ANCHOR_GENERATORS registry stub and ``mmcv.is_list_of``."""
+    global _anchor_gen
+    if _anchor_gen is not None:
+        return _anchor_gen
+    load_reference()
+    import mmcv as _m
+    _m.is_list_of = lambda seq, t: isinstance(seq, (list, tuple)) and all(
+        isinstance(s, t) for s in seq)
+    _mod("mmdet.core.anchor", ANCHOR_GENERATORS=_Registry())
+    _anchor_gen = _load("core/anchor/anchor_3d_generator.py",
+                        "mmdet3d.core.anchor.anchor_3d_generator")
+    return _anchor_gen

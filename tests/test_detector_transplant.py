@@ -303,3 +303,34 @@ def test_center_head_transplant():
         np.testing.assert_allclose(
             ours, ref[name].numpy()[0], atol=5e-5, rtol=1e-4,
             err_msg=f"branch {name}")
+
+
+# --------------------------------------------------------- anchor generator
+def test_anchor_generator_executed_parity():
+    """``AlignedAnchor3DRangeGenerator`` (align_corner=False: centers at
+    voxel centers, the stored z is the range-z AS-IS — the delta coder
+    then reads it as the anchor's bottom) vs our ``generate_anchors`` on
+    the shipped Waymo car range (``sst_base.py:19-30``). Caught a real
+    divergence: we used to store z_center - h/2, sinking the car anchor
+    prior 0.885 m below the reference's."""
+    from objectcentricocccompletion_tpu.models import anchor_head as ah
+
+    agmod = refstub.load_anchor_generator()
+    rng6 = [-74.88, -74.88, -0.0345, 74.88, 74.88, -0.0345]
+    sizes = [[2.08, 4.73, 1.77]]
+    rots = [0, 1.5707963]
+    gen = agmod.AlignedAnchor3DRangeGenerator(
+        ranges=[rng6], sizes=sizes, rotations=rots, reshape_out=False)
+    H = W = 8
+    with torch.no_grad():
+        ref = gen.anchors_single_range(
+            [1, H, W], rng6, 1, sizes=sizes, rotations=rots,
+            device="cpu").numpy()          # [1, H(y), W(x), S, R, 7]
+
+    acfg = ah.AnchorConfig(sizes=tuple(map(tuple, sizes)),
+                           z_centers=(-0.0345,), rotations=tuple(rots))
+    ours = np.asarray(ah.generate_anchors(
+        (H, W), (-74.88, -74.88, -3.0, 74.88, 74.88, 3.0), acfg))
+    S, R = len(sizes), len(rots)
+    ours = ours.reshape(W, H, S, R, 7).transpose(1, 0, 2, 3, 4)
+    np.testing.assert_allclose(ours, ref[0], atol=1e-4)
