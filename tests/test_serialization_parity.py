@@ -362,3 +362,36 @@ def test_merge_augs_weighted_executed(refs):
         [jnp.asarray(b) for b in boxes], [jnp.asarray(s) for s in scores])
     np.testing.assert_allclose(np.asarray(got_b), ref_boxes, atol=1e-5)
     np.testing.assert_allclose(np.asarray(got_s), ref_scores, atol=1e-6)
+
+
+def test_point_coder_executed_roundtrip(refs):
+    """``BasePointBBoxCoder`` (FSD cluster head coder) — our encode fed to
+    the REFERENCE decode reproduces the box, and encodes match
+    elementwise."""
+    import jax.numpy as jnp
+    from objectcentricocccompletion_tpu.core.coder import (
+        point_decode, point_encode)
+    from refstub import _load
+
+    mod = _load("core/bbox/coders/base_point_bbox_coder.py",
+                "mmdet3d.core.bbox.coders.base_point_bbox_coder")
+    coder = mod.BasePointBBoxCoder(code_size=8)
+    rng = np.random.RandomState(7)
+    boxes = _rand_boxes(rng, 40)
+    base = boxes[:, :3] + rng.uniform(-1, 1, (40, 3)).astype(np.float32)
+
+    ours_enc = np.asarray(point_encode(jnp.asarray(boxes),
+                                       jnp.asarray(base)))
+    ref_enc = coder.encode(torch.from_numpy(boxes),
+                           torch.from_numpy(base)).numpy()
+    np.testing.assert_allclose(ours_enc, ref_enc, atol=1e-5)
+
+    back_ref = coder.decode(torch.from_numpy(ours_enc),
+                            torch.from_numpy(base)).numpy()
+    back_ours = np.asarray(point_decode(jnp.asarray(ref_enc),
+                                        jnp.asarray(base)))
+    for back in (back_ref, back_ours):
+        np.testing.assert_allclose(back[:, :6], boxes[:, :6], atol=1e-4)
+        dyaw = np.abs(((back[:, 6] - boxes[:, 6]) + np.pi) % (2 * np.pi)
+                      - np.pi)
+        assert dyaw.max() < 1e-4
