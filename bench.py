@@ -87,6 +87,9 @@ def main():
     # BENCH_DONATE=1 donates the staged batch buffers (measured flat;
     # XLA reports them unusable for aliasing — BENCH_NOTES round 4)
     if scan_k:
+        if flat or stacked:
+            raise SystemExit("BENCH_SCAN supports the tree optimizer only "
+                             "(unset BENCH_FLAT/BENCH_STACKED)")
         from objectcentricocccompletion_tpu.parallel.train import \
             make_train_multi_step
         step = make_train_multi_step(

@@ -157,6 +157,10 @@ def write_synthetic_frames(root: str, num_frames: int = 8,
     Returns the infos path."""
     import pickle
 
+    if num_points < 64 * num_boxes:
+        raise ValueError(
+            f"num_points ({num_points}) must be >= 64 * num_boxes "
+            f"({64 * num_boxes}): each box claims 64 foreground points")
     rng = np.random.RandomState(seed)
     os.makedirs(os.path.join(root, "velodyne"), exist_ok=True)
     rect = np.eye(4)

@@ -41,17 +41,24 @@ class AnchorConfig:
 
 
 def generate_anchors(hw: tuple, pc_range, cfg: AnchorConfig) -> jax.Array:
-    """[H*W*C*R, 7] anchors aligned to BEV cells (bottom-center z)."""
-    H, W = hw
-    xs = np.linspace(pc_range[0], pc_range[3], W, endpoint=False) \
-        + (pc_range[3] - pc_range[0]) / W / 2
-    ys = np.linspace(pc_range[1], pc_range[4], H, endpoint=False) \
-        + (pc_range[4] - pc_range[1]) / H / 2
+    """[GX*GY*C*R, 7] anchors aligned to BEV cells.
+
+    ``hw`` is the BEV canvas shape — axis 0 indexes X cells, axis 1 Y
+    cells (``SSTBackbone`` scatters ``canvas[cx, cy]``), so the flat
+    anchor order (x-major, stride GY) matches ``AnchorHead``'s reshape of
+    the [GX, GY, n*C] map. An earlier revision swapped the per-axis cell
+    counts (harmless on square grids only); the executed parity test
+    covers a rectangular grid."""
+    GX, GY = hw
+    xs = np.linspace(pc_range[0], pc_range[3], GX, endpoint=False) \
+        + (pc_range[3] - pc_range[0]) / GX / 2
+    ys = np.linspace(pc_range[1], pc_range[4], GY, endpoint=False) \
+        + (pc_range[4] - pc_range[1]) / GY / 2
     gx, gy = np.meshgrid(xs, ys, indexing="ij")
     out = []
     for size, zc in zip(cfg.sizes, cfg.z_centers):
         for rot in cfg.rotations:
-            a = np.zeros((W, H, 7), np.float32)
+            a = np.zeros((GX, GY, 7), np.float32)
             a[..., 0] = gx
             a[..., 1] = gy
             a[..., 2] = zc               # bottom z, stored as configured

@@ -248,6 +248,12 @@ def create_train_state(cfg: OcOccNetConfig, rng: jax.Array,
     # fixed_ae: freeze the occupancy auto-encoder subtree (the reference's
     # OnlyGrad optimizer constructor used with a pretrained AE)
     frozen = ("ae_encoder",) if getattr(cfg, "fixed_ae", False) else ()
+    if (stacked_opt or flat_opt) and frozen:
+        # failing loudly beats the tree-path fallthrough: callers of the
+        # stacked/flat modes unpack a different return arity
+        raise ValueError(
+            "flat_opt/stacked_opt do not support frozen subtrees "
+            "(fixed_ae=True) — use the tree optimizer")
     if stacked_opt and not frozen:
         # Adam moments live as shape-grouped stacks; params stay a TREE
         # (forward/checkpoint layout untouched). The step concats grads
@@ -286,6 +292,24 @@ def create_train_state(cfg: OcOccNetConfig, rng: jax.Array,
     return model, state, tx, schedule
 
 
+def _state_shardings(state, mesh: Mesh, tp_min_dim: int, fsdp: bool,
+                     fsdp_min_size: int):
+    """Shared TrainState sharding ladder: FSDP over 'data', TP over
+    'model', else fully replicated (used by both step factories)."""
+    rsh = replicated(mesh)
+    if state is not None and fsdp:
+        return TrainState(
+            rsh, param_shardings_fsdp(state.params, mesh,
+                                      min_size=fsdp_min_size),
+            param_shardings_fsdp(state.opt_state, mesh,
+                                 min_size=fsdp_min_size))
+    if state is not None and "model" in mesh.axis_names:
+        return TrainState(
+            rsh, param_shardings(state.params, mesh, tp_min_dim),
+            param_shardings(state.opt_state, mesh, tp_min_dim))
+    return rsh
+
+
 def make_train_step(model: OcOccNetWithLoss, tx, mesh: Mesh,
                     state: TrainState | None = None,
                     tp_min_dim: int = 1024, fsdp: bool = False,
@@ -312,18 +336,8 @@ def make_train_step(model: OcOccNetWithLoss, tx, mesh: Mesh,
             "only"
     bsh = batch_sharding(mesh)
     rsh = replicated(mesh)
-    if state is not None and fsdp:
-        state_sh = TrainState(
-            rsh, param_shardings_fsdp(state.params, mesh,
-                                      min_size=fsdp_min_size),
-            param_shardings_fsdp(state.opt_state, mesh,
-                                 min_size=fsdp_min_size))
-    elif state is not None and "model" in mesh.axis_names:
-        state_sh = TrainState(
-            rsh, param_shardings(state.params, mesh, tp_min_dim),
-            param_shardings(state.opt_state, mesh, tp_min_dim))
-    else:
-        state_sh = rsh
+    state_sh = _state_shardings(state, mesh, tp_min_dim, fsdp,
+                                fsdp_min_size)
 
     def step_fn(state: TrainState, batch: TrackletBatch, rng: jax.Array):
         # the SP globals are set only while THIS step traces, so other
@@ -410,18 +424,8 @@ def make_train_multi_step(model: OcOccNetWithLoss, tx, mesh: Mesh,
     loader already prefetches ahead)."""
     bsh = NamedSharding(mesh, P(None, "data"))
     rsh = replicated(mesh)
-    if state is not None and fsdp:
-        state_sh = TrainState(
-            rsh, param_shardings_fsdp(state.params, mesh,
-                                      min_size=fsdp_min_size),
-            param_shardings_fsdp(state.opt_state, mesh,
-                                 min_size=fsdp_min_size))
-    elif state is not None and "model" in mesh.axis_names:
-        state_sh = TrainState(
-            rsh, param_shardings(state.params, mesh, tp_min_dim),
-            param_shardings(state.opt_state, mesh, tp_min_dim))
-    else:
-        state_sh = rsh
+    state_sh = _state_shardings(state, mesh, tp_min_dim, fsdp,
+                                fsdp_min_size)
 
     def multi_fn(state: TrainState, batches: TrackletBatch, rng: jax.Array):
         def body(state, batch):

@@ -316,21 +316,23 @@ def test_anchor_generator_executed_parity():
     from objectcentricocccompletion_tpu.models import anchor_head as ah
 
     agmod = refstub.load_anchor_generator()
-    rng6 = [-74.88, -74.88, -0.0345, 74.88, 74.88, -0.0345]
+    # rectangular range + grid: 8 x-cells over [-74.88, 74.88], 4 y-cells
+    # over [-37.44, 37.44] — catches any x/y cell-count or stride swap
+    rng6 = [-74.88, -37.44, -0.0345, 74.88, 37.44, -0.0345]
     sizes = [[2.08, 4.73, 1.77]]
     rots = [0, 1.5707963]
     gen = agmod.AlignedAnchor3DRangeGenerator(
         ranges=[rng6], sizes=sizes, rotations=rots, reshape_out=False)
-    H = W = 8
+    NX, NY = 8, 4
     with torch.no_grad():
         ref = gen.anchors_single_range(
-            [1, H, W], rng6, 1, sizes=sizes, rotations=rots,
-            device="cpu").numpy()          # [1, H(y), W(x), S, R, 7]
+            [1, NY, NX], rng6, 1, sizes=sizes, rotations=rots,
+            device="cpu").numpy()          # [1, NY(y), NX(x), S, R, 7]
 
     acfg = ah.AnchorConfig(sizes=tuple(map(tuple, sizes)),
                            z_centers=(-0.0345,), rotations=tuple(rots))
     ours = np.asarray(ah.generate_anchors(
-        (H, W), (-74.88, -74.88, -3.0, 74.88, 74.88, 3.0), acfg))
+        (NX, NY), (-74.88, -37.44, -3.0, 74.88, 37.44, 3.0), acfg))
     S, R = len(sizes), len(rots)
-    ours = ours.reshape(W, H, S, R, 7).transpose(1, 0, 2, 3, 4)
+    ours = ours.reshape(NX, NY, S, R, 7).transpose(1, 0, 2, 3, 4)
     np.testing.assert_allclose(ours, ref[0], atol=1e-4)

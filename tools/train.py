@@ -12,6 +12,7 @@ Usage:
       --work-dir work_dirs/ococcnet
 """
 import argparse
+import dataclasses
 import os
 import sys
 
@@ -101,7 +102,6 @@ def main():
                num_processes=args.num_processes, process_id=args.process_id)
 
     if args.model in ("ococcnet", "ctrl"):
-        import dataclasses
         from objectcentricocccompletion_tpu.configs import (
             OcOccNetConfig, tiny_config)
         from objectcentricocccompletion_tpu.data.tracklet_dataset import \
@@ -204,7 +204,6 @@ def main():
                                  with_yaw=args.dataset == "sunrgbd"))
         model = VoteNet(vc)
     elif args.model == "centerpoint":
-        import dataclasses
         from objectcentricocccompletion_tpu.models.centerpoint import (
             CenterPointConfig, DynamicCenterPoint, tiny_centerpoint_config)
         ccfg = tiny_centerpoint_config() if args.tiny else CenterPointConfig()
@@ -212,7 +211,6 @@ def main():
             ccfg = dataclasses.replace(ccfg, encoder_dtype=args.dtype)
         model = DynamicCenterPoint(ccfg)
     elif args.model == "sst":
-        import dataclasses
         from objectcentricocccompletion_tpu.models.sst_detector import (
             SSTDetector, SSTDetectorConfig, tiny_sst_detector_config)
         scfg = tiny_sst_detector_config() if args.tiny \
@@ -232,10 +230,14 @@ def main():
                 return two_stage_loss(out, points, gt_boxes, gt_labels,
                                       gt_valid)
 
-        model = TwoStageWithLoss(tiny_two_stage_config() if args.tiny
-                                 else TwoStageFSDConfig())
+        tcfg = tiny_two_stage_config() if args.tiny else TwoStageFSDConfig()
+        if args.dtype:
+            # compute dtype lives on the single-stage sub-config
+            # (fsd_two_stage reads cfg.fsd.compute_dtype)
+            tcfg = dataclasses.replace(tcfg, fsd=dataclasses.replace(
+                tcfg.fsd, compute_dtype=args.dtype))
+        model = TwoStageWithLoss(tcfg)
     else:   # fsd
-        import dataclasses
         from objectcentricocccompletion_tpu.models.fsd import (
             FSD, FSDConfig, fsd_loss, tiny_fsd_config)
 
