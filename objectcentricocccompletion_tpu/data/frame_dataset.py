@@ -60,7 +60,24 @@ class FrameDataset:
     def __init__(self, info_path: str, data_root: str,
                  max_points: int = 160000, max_gt: int = 128,
                  occ_pred_root: str | None = None, load_dim: int = 6,
-                 use_dim: int = 5, db_sampler=None):
+                 use_dim: int = 5, db_sampler=None,
+                 augment: bool = False,
+                 flip_ratio_horizontal: float = 0.5,
+                 flip_ratio_vertical: float = 0.0,
+                 rot_range=(-0.78539816, 0.78539816),
+                 scale_range=(0.95, 1.05),
+                 translation_std=(0.0, 0.0, 0.0),
+                 pc_range=None):
+        """``augment=True`` enables the reference's frame train-pipeline
+        geometry augmentations (``configs/_base_/datasets/waymo-*.py``:
+        RandomFlip3D -> GlobalRotScaleTrans(rot +-pi/4, scale
+        [0.95, 1.05]) -> Points/ObjectRangeFilter), reusing the
+        executed-parity-pinned tracklet helpers (``tracklet_dataset.
+        apply_flip`` / ``apply_rot_scale_trans``). ``pc_range`` (6 floats)
+        enables the range filters: points outside are masked out and GT
+        boxes whose BEV center leaves the range are invalidated. The
+        reference's PointShuffle is subsumed by the random subsampling
+        permutation (all downstream ops are point-order invariant)."""
         self.infos = _load_pkl(info_path)
         self.data_root = data_root
         self.max_points = max_points
@@ -70,6 +87,40 @@ class FrameDataset:
         self.use_dim = use_dim
         # optional GT copy-paste augmentation (data/dbsampler.py)
         self.db_sampler = db_sampler
+        self.augment = augment
+        self.flip_ratio_horizontal = flip_ratio_horizontal
+        self.flip_ratio_vertical = flip_ratio_vertical
+        self.rot_range = tuple(rot_range)
+        self.scale_range = tuple(scale_range)
+        self.translation_std = tuple(translation_std)
+        self.pc_range = None if pc_range is None else tuple(pc_range)
+
+    def _augment(self, sample: dict, rng: np.random.RandomState) -> dict:
+        """Geometry augmentation on the padded sample (after the db-paste,
+        mirroring the reference's ObjectSample -> flip -> rot/scale
+        order); padded rows transform harmlessly under their masks."""
+        from .tracklet_dataset import apply_flip, apply_rot_scale_trans
+        pts = sample["points"]
+        boxes = sample["gt_boxes"]
+        if rng.rand() < self.flip_ratio_horizontal:
+            apply_flip(pts, [boxes], True)
+        if rng.rand() < self.flip_ratio_vertical:
+            apply_flip(pts, [boxes], False)
+        ang = rng.uniform(*self.rot_range)
+        sc = rng.uniform(*self.scale_range)
+        std = np.asarray(self.translation_std, np.float64)
+        tr = (rng.normal(scale=std, size=3) if std.any()
+              else np.zeros(3)).astype(np.float32)
+        apply_rot_scale_trans(pts, [boxes], ang, sc, tr)
+        if self.pc_range is not None:
+            lo = np.asarray(self.pc_range[:3], np.float32)
+            hi = np.asarray(self.pc_range[3:], np.float32)
+            sample["points_mask"] &= np.all(
+                (pts[:, :3] >= lo) & (pts[:, :3] <= hi), axis=-1)
+            ctr = boxes[:, :2]
+            sample["gt_valid"] &= np.all(
+                (ctr >= lo[:2]) & (ctr <= hi[:2]), axis=-1)
+        return sample
 
     def __len__(self):
         return len(self.infos)
@@ -139,6 +190,8 @@ class FrameDataset:
         if self.db_sampler is not None:
             from .dbsampler import apply_db_sample
             sample = apply_db_sample(sample, self.db_sampler)
+        if self.augment:
+            sample = self._augment(sample, rng)
         return sample
 
 

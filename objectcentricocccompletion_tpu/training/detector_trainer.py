@@ -110,7 +110,12 @@ def make_detector_train_step(model, tx, mesh, loss_method=None):
 def train_detector(model, dataset, work_dir: str, total_steps: int,
                    batch_per_device: int = 1, base_lr: float = 1e-5,
                    ckpt_interval: int = 1000, log_interval: int = 50,
-                   seed: int = 0, devices=None, resume: bool = True):
+                   seed: int = 0, devices=None, resume: bool = True,
+                   disable_aug_after: int | None = None):
+    """``disable_aug_after`` turns the dataset's geometry/copy-paste
+    augmentation off from that step on — the reference's
+    ``DisableAugmentationHook`` (``core/hook/fsd_hooks.py:7-54``,
+    last-epoch aug-off in every FSD config)."""
     mesh = make_mesh(devices)
     n_dev = int(mesh.devices.size)
     global_batch = batch_per_device * n_dev
@@ -141,6 +146,10 @@ def train_detector(model, dataset, work_dir: str, total_steps: int,
     start = int(state.step)
     t_last = time.time()
     for step in range(start, total_steps):
+        if disable_aug_after is not None and step >= disable_aug_after:
+            dataset.augment = False
+            dataset.db_sampler = None
+            disable_aug_after = None
         b = jax.tree_util.tree_map(
             lambda x: jax.device_put(x, batch_sharding(mesh)),
             next(loader) if step > start else batch)

@@ -157,3 +157,65 @@ def test_w8_occ_augmented_retrain_loop(tmp_path):
         losses.append(float(aux["loss"]))
     assert all(np.isfinite(l) for l in losses)
     assert losses[-1] != losses[0]   # parameters actually moved
+
+
+def test_frame_augment_rigid_consistency(tmp_path):
+    """Geometry augmentation (reference train pipeline: RandomFlip3D +
+    GlobalRotScaleTrans + range filters) transforms points and boxes
+    together: interior points stay interior, sizes scale, and the sample
+    is deterministic in the rng."""
+    from objectcentricocccompletion_tpu.data.dbsampler import (
+        points_in_box_host)
+
+    info_path = write_frame_dataset(str(tmp_path), num_frames=1, seed=3)
+    base = FrameDataset(info_path, str(tmp_path), max_points=4096,
+                        max_gt=8)
+    aug = FrameDataset(info_path, str(tmp_path), max_points=4096, max_gt=8,
+                       augment=True, flip_ratio_horizontal=1.0,
+                       translation_std=(0.2, 0.2, 0.1),
+                       pc_range=(-80, -80, -10, 80, 80, 10))
+    s0 = base.build_sample(0, np.random.RandomState(0))
+    s1 = aug.build_sample(0, np.random.RandomState(0))
+    s1b = aug.build_sample(0, np.random.RandomState(0))
+    for k in s1:
+        np.testing.assert_array_equal(s1[k], s1b[k])   # deterministic
+
+    # the transform moved things (padded rows correspond one-to-one; only
+    # the masks differ after the range filter)
+    assert not np.allclose(s1["points"][:, :3], s0["points"][:, :3])
+    # sizes scaled by a single global factor in [0.95, 1.05]
+    v0, v1 = s0["gt_valid"], s1["gt_valid"]
+    common = min(v0.sum(), v1.sum())
+    ratio = s1["gt_boxes"][:common, 3:6] / s0["gt_boxes"][:common, 3:6]
+    assert np.allclose(ratio, ratio.flat[0], atol=1e-5)
+    assert 0.95 <= ratio.flat[0] <= 1.05
+
+    # membership preserved: points inside box 0 before == after (rigid +
+    # uniform scale transform both sides identically)
+    b0, b1 = s0["gt_boxes"][0], s1["gt_boxes"][0]
+    m0 = points_in_box_host(s0["points"][:, :3], b0) & s0["points_mask"]
+    m1 = points_in_box_host(s1["points"][:, :3], b1) & s1["points_mask"]
+    np.testing.assert_array_equal(m0, m1)
+
+    # range filter: every surviving point/box center in range
+    p = s1["points"][s1["points_mask"]][:, :3]
+    assert np.all((p >= -80) & (p <= 80))
+
+
+def test_frame_augment_flip_only_matches_reference_convention(tmp_path):
+    """flip_ratio=1, rot/scale degenerate: y negates, yaw -> pi - yaw
+    (LiDARInstance3DBoxes.flip('horizontal'), lidar_box3d.py:209-212)."""
+    info_path = write_frame_dataset(str(tmp_path), num_frames=1, seed=5)
+    base = FrameDataset(info_path, str(tmp_path), max_points=4096,
+                        max_gt=8)
+    aug = FrameDataset(info_path, str(tmp_path), max_points=4096, max_gt=8,
+                       augment=True, flip_ratio_horizontal=1.0,
+                       rot_range=(0.0, 0.0), scale_range=(1.0, 1.0))
+    s0 = base.build_sample(0, np.random.RandomState(1))
+    s1 = aug.build_sample(0, np.random.RandomState(1))
+    np.testing.assert_allclose(s1["points"][:, 1], -s0["points"][:, 1],
+                               atol=1e-6)
+    np.testing.assert_allclose(s1["gt_boxes"][:, 1], -s0["gt_boxes"][:, 1],
+                               atol=1e-6)
+    np.testing.assert_allclose(s1["gt_boxes"][:, 6],
+                               np.pi - s0["gt_boxes"][:, 6], atol=1e-6)

@@ -58,6 +58,13 @@ def main():
     p.add_argument("--fixed-ae", action="store_true",
                    help="freeze the occupancy auto-encoder (OnlyGrad "
                         "optimizer mode)")
+    p.add_argument("--augment", action="store_true",
+                   help="frame geometry augmentation (the reference train "
+                        "pipeline: RandomFlip3D + GlobalRotScaleTrans + "
+                        "range filters)")
+    p.add_argument("--disable-aug-after", type=int, default=None,
+                   help="turn augmentation off from this step on (the "
+                        "DisableAugmentationHook analog)")
     p.add_argument("--gt-sample", type=int, default=0,
                    help="GT copy-paste augmentation: target objects per "
                         "class per frame (0 = off)")
@@ -171,7 +178,8 @@ def main():
                           **frame_kw)
     else:
         ds = FrameDataset(args.infos, args.data_root,
-                          occ_pred_root=args.occ_pred_root, **frame_kw)
+                          occ_pred_root=args.occ_pred_root,
+                          augment=args.augment, **frame_kw)
     print(f"dataset: {len(ds)} frames")
     if args.gt_sample > 0:
         from objectcentricocccompletion_tpu.data.dbsampler import (
@@ -254,7 +262,8 @@ def main():
                    total_steps=args.total_steps or 1000,
                    ckpt_interval=args.ckpt_interval,
                    log_interval=args.log_interval, seed=args.seed,
-                   resume=not args.no_resume)
+                   resume=not args.no_resume,
+                   disable_aug_after=args.disable_aug_after)
 
 
 if __name__ == "__main__":
