@@ -67,7 +67,7 @@ class FrameDataset:
                  rot_range=(-0.78539816, 0.78539816),
                  scale_range=(0.95, 1.05),
                  translation_std=(0.0, 0.0, 0.0),
-                 pc_range=None):
+                 pc_range=None, num_sweeps: int = 0):
         """``augment=True`` enables the reference's frame train-pipeline
         geometry augmentations (``configs/_base_/datasets/waymo-*.py``:
         RandomFlip3D -> GlobalRotScaleTrans(rot +-pi/4, scale
@@ -94,6 +94,39 @@ class FrameDataset:
         self.scale_range = tuple(scale_range)
         self.translation_std = tuple(translation_std)
         self.pc_range = None if pc_range is None else tuple(pc_range)
+        self.num_sweeps = num_sweeps
+
+    def _cat_sweeps(self, pts: np.ndarray, info: dict) -> np.ndarray:
+        """Concatenate up to ``num_sweeps`` previous frames into the
+        current one — ``LoadPointsFromMultiSweepsWaymo``
+        (``datasets/pipelines/loading.py:703-871``, the 3f config
+        family): each sweep's points go past-ego -> world (the sweep's
+        pose) -> current ego (inverse of this frame's pose), and a
+        trailing time-lag channel carries 0 for the current frame and
+        ``-(idx+1)`` for the idx-th sweep. Frames without recorded
+        sweeps just gain the zero time channel (``pad_empty_sweeps``
+        degenerate form)."""
+        out = [np.concatenate(
+            [pts, np.zeros((len(pts), 1), np.float32)], -1)]
+        curr_pose = np.asarray(info.get("pose", np.eye(4)), np.float64)
+        world2curr = np.linalg.inv(curr_pose)
+        for idx, sweep in enumerate(info.get("sweeps", [])):
+            if idx >= self.num_sweeps:
+                break
+            spath = os.path.join(
+                os.path.dirname(os.path.join(self.data_root,
+                                             info["point_cloud"]
+                                             ["velodyne_path"])),
+                os.path.basename(sweep["velodyne_path"]))
+            sp = np.fromfile(spath, np.float32).reshape(-1, self.load_dim)
+            sp = sp[:, :self.use_dim]
+            past = np.asarray(sweep["pose"], np.float64)
+            world = sp[:, :3] @ past[:3, :3].T + past[:3, 3]
+            sp[:, :3] = (world @ world2curr[:3, :3].T
+                         + world2curr[:3, 3]).astype(np.float32)
+            lag = np.full((len(sp), 1), -(idx + 1), np.float32)
+            out.append(np.concatenate([sp, lag], -1))
+        return np.concatenate(out, 0)
 
     def _augment(self, sample: dict, rng: np.random.RandomState) -> dict:
         """Geometry augmentation on the padded sample (after the db-paste,
@@ -160,12 +193,18 @@ class FrameDataset:
         pts = np.fromfile(os.path.join(self.data_root, vpath),
                           np.float32).reshape(-1, self.load_dim)
         pts = pts[:, :self.use_dim]
+        if self.num_sweeps > 0:
+            pts = self._cat_sweeps(pts, info)
 
         if self.occ_pred_root is not None:
             seg = info.get("segment_name",
                            info["point_cloud"].get("segment_name", ""))
             ts = info.get("timestamp", 0)
             occ = self.load_occ_points(seg, ts)
+            if occ.shape[1] < pts.shape[1]:   # sweeps added a time channel
+                occ = np.concatenate(
+                    [occ, np.zeros((len(occ), pts.shape[1] - occ.shape[1]),
+                                   np.float32)], -1)
             pts = np.concatenate([pts, occ], 0)
 
         rect = np.asarray(info["calib"]["R0_rect"], np.float64)
@@ -175,7 +214,7 @@ class FrameDataset:
         if len(pts) > self.max_points:
             pts = pts[rng.permutation(len(pts))[:self.max_points]]
         n = len(pts)
-        points = np.zeros((self.max_points, self.use_dim), np.float32)
+        points = np.zeros((self.max_points, pts.shape[1]), np.float32)
         points[:n] = pts
         mask = np.arange(self.max_points) < n
 
@@ -256,6 +295,12 @@ def write_synthetic_frames(root: str, num_frames: int = 8,
             -1).astype(np.float32)
         vp = f"velodyne/{i:06d}.bin"
         arr.tofile(os.path.join(root, vp))
+        # ego pose drifting forward along x (enables multi-sweep loading)
+        pose = np.eye(4)
+        pose[0, 3] = 2.0 * i
+        sweeps = [dict(velodyne_path=infos[j]["point_cloud"]
+                       ["velodyne_path"], pose=infos[j]["pose"])
+                  for j in range(i - 1, -1, -1)]
         infos.append(dict(
             point_cloud=dict(velodyne_path=vp),
             calib=dict(R0_rect=rect, Tr_velo_to_cam=trv2c),
@@ -263,7 +308,8 @@ def write_synthetic_frames(root: str, num_frames: int = 8,
                        location=np.asarray(locs),
                        dimensions=np.asarray(dims),
                        rotation_y=np.asarray(rys)),
-            timestamp=1000 + i, segment_name="synth-seg"))
+            timestamp=1000 + i, segment_name="synth-seg",
+            pose=pose, sweeps=sweeps))
     info_path = os.path.join(root, "infos.pkl")
     with open(info_path, "wb") as f:
         pickle.dump(infos, f)

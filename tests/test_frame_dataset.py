@@ -219,3 +219,38 @@ def test_frame_augment_flip_only_matches_reference_convention(tmp_path):
                                atol=1e-6)
     np.testing.assert_allclose(s1["gt_boxes"][:, 6],
                                np.pi - s0["gt_boxes"][:, 6], atol=1e-6)
+
+
+def test_multi_sweep_loading(tmp_path):
+    """num_sweeps > 0 concatenates previous frames transformed past-ego ->
+    world -> current-ego with a trailing time-lag channel (the reference's
+    LoadPointsFromMultiSweepsWaymo, loading.py:703-871)."""
+    from objectcentricocccompletion_tpu.data.frame_dataset import (
+        write_synthetic_frames)
+
+    info_path = write_synthetic_frames(str(tmp_path), num_frames=3,
+                                       num_points=2000, num_boxes=4)
+    ds = FrameDataset(info_path, str(tmp_path), max_points=8192, max_gt=8,
+                      num_sweeps=2, load_dim=6, use_dim=5)
+    s = ds.build_sample(2, np.random.RandomState(0))
+    pts = s["points"][s["points_mask"]]
+    assert pts.shape[1] == 6                    # 5 dims + time lag
+    lags = np.unique(pts[:, 5])
+    np.testing.assert_array_equal(sorted(lags), [-2.0, -1.0, 0.0])
+    # 3 frames x 2000 points all fit the budget
+    assert pts.shape[0] == 6000
+
+    # the idx-0 sweep of frame 2 is frame 1 (pose x=2) seen from frame 2
+    # (pose x=4): its points shift by -2 in x
+    raw1 = np.fromfile(f"{tmp_path}/velodyne/000001.bin",
+                       np.float32).reshape(-1, 6)[:, :5]
+    got = pts[pts[:, 5] == -1.0][:, :3]
+    np.testing.assert_allclose(
+        np.sort(got[:, 0]), np.sort(raw1[:, 0] - 2.0), atol=1e-4)
+    np.testing.assert_allclose(np.sort(got[:, 1]), np.sort(raw1[:, 1]),
+                               atol=1e-4)
+
+    # frame 0 has no sweeps: only the zero-lag channel appears
+    s0 = ds.build_sample(0, np.random.RandomState(0))
+    p0 = s0["points"][s0["points_mask"]]
+    assert np.all(p0[:, 5] == 0.0) and p0.shape[0] == 2000

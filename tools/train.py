@@ -58,6 +58,10 @@ def main():
     p.add_argument("--fixed-ae", action="store_true",
                    help="freeze the occupancy auto-encoder (OnlyGrad "
                         "optimizer mode)")
+    p.add_argument("--num-sweeps", type=int, default=0,
+                   help="concatenate N previous frames into each sample "
+                        "(the reference's 3f multi-sweep configs; adds a "
+                        "time-lag point channel)")
     p.add_argument("--augment", action="store_true",
                    help="frame geometry augmentation (the reference train "
                         "pipeline: RandomFlip3D + GlobalRotScaleTrans + "
@@ -179,7 +183,8 @@ def main():
     else:
         ds = FrameDataset(args.infos, args.data_root,
                           occ_pred_root=args.occ_pred_root,
-                          augment=args.augment, **frame_kw)
+                          augment=args.augment,
+                          num_sweeps=args.num_sweeps, **frame_kw)
     print(f"dataset: {len(ds)} frames")
     if args.gt_sample > 0:
         from objectcentricocccompletion_tpu.data.dbsampler import (
