@@ -34,14 +34,19 @@ class SECOND(nn.Module):
     def __call__(self, x: jax.Array) -> list[jax.Array]:
         """x: [H, W, C] single-sample BEV. Returns per-stage maps."""
         outs = []
+        # explicit symmetric padding = torch Conv2d(padding=1): for the
+        # stride-2 stage flax's SAME pads right-heavy (0, 1), shifting
+        # every downstream window half an output cell off the reference's
+        # geometry — identical only at stride 1
+        pad = ((1, 1), (1, 1))
         for i, (c, n, s) in enumerate(zip(self.out_channels, self.layer_nums,
                                           self.layer_strides)):
             x = nn.Conv(c, (3, 3), strides=(s, s), use_bias=False,
-                        name=f"stage{i}_conv0")(x)
+                        padding=pad, name=f"stage{i}_conv0")(x)
             x = _norm()(x)
             x = nn.relu(x)
             for j in range(n):
-                x = nn.Conv(c, (3, 3), use_bias=False,
+                x = nn.Conv(c, (3, 3), use_bias=False, padding=pad,
                             name=f"stage{i}_conv{j + 1}")(x)
                 x = _norm()(x)
                 x = nn.relu(x)
@@ -62,7 +67,10 @@ class SECONDFPN(nn.Module):
                 x = nn.ConvTranspose(c, (s, s), strides=(s, s),
                                      use_bias=False, name=f"deblock{i}")(x)
             else:
-                x = nn.Conv(c, (3, 3), use_bias=False,
+                # the shipped W2 config sets use_conv_for_no_stride=True:
+                # the stride-1 deblock is a 1x1 conv
+                # (second_fpn.py:53-59, cp_voxel_full_6e_car_occ.py:62)
+                x = nn.Conv(c, (1, 1), use_bias=False,
                             name=f"deblock{i}")(x)
             x = _norm()(x)
             ups.append(nn.relu(x))

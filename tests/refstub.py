@@ -782,3 +782,44 @@ def load_anchor_generator():
     _anchor_gen = _load("core/anchor/anchor_3d_generator.py",
                         "mmdet3d.core.anchor.anchor_3d_generator")
     return _anchor_gen
+
+
+_second = None
+
+
+def load_second():
+    """Load the reference ``SECOND`` backbone + ``SECONDFPN`` neck
+    (``models/backbones/second.py``, ``models/necks/second_fpn.py``) —
+    plain torch convs behind conv/upsample-layer builder stubs."""
+    global _second
+    if _second is not None:
+        return _second
+    load_reference()
+    cnn = sys.modules["mmcv.cnn"]
+
+    def _build_conv_layer(cfg, in_channels, out_channels, kernel_size,
+                          stride=1, padding=0, bias=True):
+        if cfg:
+            bias = cfg.get("bias", bias)
+        return nn.Conv2d(in_channels, out_channels, kernel_size,
+                         stride=stride, padding=padding, bias=bias)
+
+    def _build_upsample_layer(cfg, in_channels, out_channels, kernel_size,
+                              stride=1):
+        return nn.ConvTranspose2d(in_channels, out_channels, kernel_size,
+                                  stride=stride,
+                                  bias=cfg.get("bias", True) if cfg else True)
+
+    cnn.build_conv_layer = _build_conv_layer
+    cnn.build_upsample_layer = _build_upsample_layer
+    m = sys.modules["mmdet.models"]
+    if not hasattr(m, "BACKBONES"):
+        m.BACKBONES = _Registry()
+    if not hasattr(m, "NECKS"):
+        m.NECKS = _Registry()
+    bb = _load("models/backbones/second.py",
+               "mmdet3d.models.backbones.second")
+    fpn = _load("models/necks/second_fpn.py",
+                "mmdet3d.models.necks.second_fpn")
+    _second = {"second": bb, "second_fpn": fpn}
+    return _second

@@ -336,3 +336,70 @@ def test_anchor_generator_executed_parity():
     S, R = len(sizes), len(rots)
     ours = ours.reshape(NX, NY, S, R, 7).transpose(1, 0, 2, 3, 4)
     np.testing.assert_allclose(ours, ref[0], atol=1e-4)
+
+
+# ----------------------------------------------------- SECOND / SECONDFPN
+def test_second_fpn_conv_geometry_transplant(monkeypatch):
+    """Conv-geometry transplant of the CenterPoint BEV tower — reference
+    ``SECOND`` + ``SECONDFPN`` (``backbones/second.py``,
+    ``necks/second_fpn.py``, shipped W2 config with
+    ``use_conv_for_no_stride=True``) vs ours, with the norms bypassed on
+    both sides (our GN deliberately replaces the reference's BN — a
+    documented batch-free redesign, so only the conv geometry is
+    comparable). Pins the stride-2 padding alignment (the reference's own
+    'pad-conv2d' comment, second.py:36-37 — flax SAME pads right-heavy
+    and shifts every downstream window), the stride-1 1x1 deblock, and
+    the deconv tap orientation. Rectangular input guards axis order."""
+    import objectcentricocccompletion_tpu.models.second as sec
+
+    mods = refstub.load_second()
+    torch.manual_seed(31)
+    C_IN, OUT, NUMS, STRIDES = 8, [8, 16], [2, 2], [1, 2]
+    ref_bb = mods["second"].SECOND(
+        in_channels=C_IN, out_channels=OUT, layer_nums=NUMS,
+        layer_strides=STRIDES).eval()
+    ref_fpn = mods["second_fpn"].SECONDFPN(
+        in_channels=OUT, out_channels=[16, 16], upsample_strides=[1, 2],
+        use_conv_for_no_stride=True).eval()
+    for m in list(ref_bb.modules()) + list(ref_fpn.modules()):
+        for name, child in m.named_children():
+            if isinstance(child, torch.nn.BatchNorm2d):
+                setattr(m, name, torch.nn.Identity())
+
+    H, W = 12, 8
+    x = torch.randn(1, C_IN, H, W)
+    with torch.no_grad():
+        feats = ref_bb(x)
+        ref = ref_fpn(feats)[0][0].numpy()      # [C, H, W]
+
+    monkeypatch.setattr(sec, "_norm", lambda: (lambda t: t))
+
+    def conv_w(mod):
+        return {"kernel": _t2j(mod.weight).transpose(2, 3, 1, 0)}
+
+    bb_params = {}
+    for i, block in enumerate(ref_bb.blocks):
+        convs = [m for m in block if isinstance(m, torch.nn.Conv2d)]
+        for j, cv in enumerate(convs):
+            bb_params[f"stage{i}_conv{j}"] = conv_w(cv)
+    fpn_params = {}
+    for i, db in enumerate(ref_fpn.deblocks):
+        lead = db[0]
+        if isinstance(lead, torch.nn.ConvTranspose2d):
+            # torch deconv weight [in, out, kh, kw] -> flax [kh, kw, in,
+            # out], SPATIALLY FLIPPED: flax ConvTranspose
+            # (transpose_kernel=False) scatters tap (i, j) where torch
+            # scatters (kh-1-i, kw-1-j)
+            w = _t2j(lead.weight).transpose(2, 3, 0, 1)[::-1, ::-1]
+            fpn_params[f"deblock{i}"] = {"kernel": w}
+        else:
+            fpn_params[f"deblock{i}"] = conv_w(lead)
+
+    our_bb = sec.SECOND(out_channels=tuple(OUT), layer_nums=tuple(NUMS),
+                        layer_strides=tuple(STRIDES))
+    our_fpn = sec.SECONDFPN(out_channels=(16, 16), upsample_strides=(1, 2))
+    xin = jnp.asarray(x[0].numpy().transpose(1, 2, 0))       # [H, W, C]
+    feats_j = our_bb.apply({"params": bb_params}, xin)
+    got = np.asarray(our_fpn.apply({"params": fpn_params}, feats_j))
+    np.testing.assert_allclose(got.transpose(2, 0, 1), ref,
+                               atol=2e-4, rtol=1e-4)

@@ -49,6 +49,9 @@ def main():
                         "(MultiScaleFlipAug3D eval mode)")
     p.add_argument("--tune-steps", type=int, default=0,
                    help="online test-time latent tuning iterations")
+    p.add_argument("--num-sweeps", type=int, default=0,
+                   help="concatenate N previous frames per sample at eval "
+                        "(the reference's 3f multi-sweep configs)")
     p.add_argument("--tiny", action="store_true",
                    help="tiny config for smoke runs")
     p.add_argument("--eval-layout", choices=["dense", "packed"],
@@ -174,7 +177,8 @@ def _eval_detector(args):
         ds = Argo2Dataset(args.data_root, args.infos or "train",
                           **frame_kw)
     else:
-        ds = FrameDataset(args.infos, args.data_root, **frame_kw)
+        ds = FrameDataset(args.infos, args.data_root,
+                          num_sweeps=args.num_sweeps, **frame_kw)
     print(f"dataset: {len(ds)} frames")
 
     if args.model == "votenet":
