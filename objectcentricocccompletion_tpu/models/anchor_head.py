@@ -35,9 +35,23 @@ class AnchorConfig:
     # the executed generator parity test.
     z_centers: Sequence[float] = (-0.0345,)
     rotations: Sequence[float] = (0.0, 1.5707963)
-    pos_iou_thr: float = 0.55
-    neg_iou_thr: float = 0.4
+    # scalar, or one threshold PER SIZE/CLASS (the reference configures one
+    # MaxIoUAssigner per class: car 0.55/0.4, cyclist+pedestrian 0.5/0.3 —
+    # ``sst_base.py:47-69``); with multiple sizes the assignment is also
+    # class-restricted, mirroring mmdet3d's per-class anchor_target_3d
+    pos_iou_thr: float | Sequence[float] = 0.55
+    neg_iou_thr: float | Sequence[float] = 0.4
     dir_offset: float = 0.7854
+
+
+def waymo_3class_anchor_config() -> "AnchorConfig":
+    """The shipped 3-class Waymo anchors + per-class assigner thresholds
+    (``sst_base.py:19-69``): car / cyclist / pedestrian."""
+    return AnchorConfig(
+        sizes=((2.08, 4.73, 1.77), (0.84, 1.81, 1.77), (0.84, 0.91, 1.74)),
+        z_centers=(-0.0345, -0.1188, 0.0),
+        pos_iou_thr=(0.55, 0.5, 0.5),
+        neg_iou_thr=(0.4, 0.3, 0.3))
 
 
 def generate_anchors(hw: tuple, pc_range, cfg: AnchorConfig) -> jax.Array:
@@ -89,16 +103,32 @@ def nearest_bev_iou(anchors: jax.Array, gts: jax.Array) -> jax.Array:
     return inter / jnp.clip(aa[:, None] + ga[None] - inter, 1e-6, None)
 
 
-def assign(anchors, gt_boxes, gt_labels, gt_valid, cfg: AnchorConfig):
-    """Returns (labels [A] (-1 ignore, 0.. classes, bg=num_classes encoded
-    as -2? -> use cls_target one-hot), matched gt idx [A], pos mask,
-    neg mask)."""
+def assign(anchors, gt_boxes, gt_labels, gt_valid, cfg: AnchorConfig,
+           anchor_classes: jax.Array | None = None):
+    """Returns (matched gt idx [A], pos mask, neg mask).
+
+    With ``anchor_classes`` given (multi-size heads), matching is
+    class-restricted and the pos/neg thresholds index per class —
+    mmdet3d's per-class ``anchor_target_3d`` with one MaxIoUAssigner per
+    class (``sst_base.py:47-69``)."""
     iou = nearest_bev_iou(anchors, gt_boxes)
     iou = jnp.where(gt_valid[None], iou, -1.0)
+    if anchor_classes is not None:
+        same = anchor_classes[:, None] == gt_labels[None, :]
+        iou = jnp.where(same, iou, -1.0)
+        pos_thr = jnp.asarray(cfg.pos_iou_thr,
+                              jnp.float32)[..., anchor_classes]
+        neg_thr = jnp.asarray(cfg.neg_iou_thr,
+                              jnp.float32)[..., anchor_classes]
+    else:
+        pos_thr = jnp.float32(cfg.pos_iou_thr)
+        neg_thr = jnp.float32(cfg.neg_iou_thr)
     best_gt = jnp.argmax(iou, axis=1)
     best_iou = jnp.max(iou, axis=1)
-    pos = best_iou >= cfg.pos_iou_thr
-    neg = (best_iou < cfg.neg_iou_thr) & (best_iou >= -0.5)
+    pos = best_iou >= pos_thr
+    # anchors with no candidate GT (none valid, or none of their class)
+    # are BACKGROUND, matching mmdet MaxIoUAssigner's empty-gt result
+    neg = best_iou < neg_thr
     # force-match: each gt claims its best anchor (min_pos_iou behavior)
     best_anchor = jnp.argmax(iou, axis=0)
     forced = jnp.zeros(anchors.shape[0], bool).at[best_anchor].set(
@@ -121,9 +151,14 @@ def focal_loss(logits, targets, alpha=0.25, gamma=2.0):
 
 
 class AnchorHead(nn.Module):
+    """``Anchor3DHead._init_layers`` (``anchor3d_head.py:137-146``): three
+    plain 1x1 convs (cls/reg/dir) reading the neck features directly — no
+    shared conv (an earlier revision added one; removed for structural
+    parity). The cls bias init matches the reference's
+    ``bias_prob=0.01`` -> -log(99)."""
     num_classes: int = 1
     num_anchors_per_cell: int = 2   # len(sizes) * len(rotations)
-    feat_channels: int = 384
+    feat_channels: int = 384        # informational; convs read the input
     dtype: str | None = None        # conv computation dtype (params f32)
 
     @nn.compact
@@ -132,14 +167,11 @@ class AnchorHead(nn.Module):
         import jax.numpy as jnp
         dt = jnp.dtype(self.dtype) if self.dtype else None
         n = self.num_anchors_per_cell
-        x = nn.Conv(self.feat_channels, (1, 1), dtype=dt,
-                    name="shared")(bev)
-        x = nn.relu(x)
         cls = nn.Conv(n * self.num_classes, (1, 1), dtype=dt,
                       bias_init=nn.initializers.constant(-4.59),
-                      name="cls")(x)
-        reg = nn.Conv(n * 7, (1, 1), dtype=dt, name="reg")(x)
-        dirc = nn.Conv(n * 2, (1, 1), dtype=dt, name="dir")(x)
+                      name="cls")(bev)
+        reg = nn.Conv(n * 7, (1, 1), dtype=dt, name="reg")(bev)
+        dirc = nn.Conv(n * 2, (1, 1), dtype=dt, name="dir")(bev)
         A = bev.shape[0] * bev.shape[1] * n
         return (cls.reshape(A, self.num_classes), reg.reshape(A, 7),
                 dirc.reshape(A, 2))
@@ -149,7 +181,15 @@ def anchor_head_loss(cls_logits, reg_pred, dir_pred, anchors, gt_boxes,
                      gt_labels, gt_valid, acfg: AnchorConfig,
                      num_classes: int = 1, cls_weight=1.0, bbox_weight=0.5,
                      dir_weight=0.2):
-    best_gt, pos, neg = assign(anchors, gt_boxes, gt_labels, gt_valid, acfg)
+    anchor_classes = None
+    if len(acfg.sizes) > 1:
+        # anchor flat order is [cell, size, rotation]; sizes map 1:1 to
+        # classes in the shipped configs
+        R = len(acfg.rotations)
+        a = jnp.arange(cls_logits.shape[0], dtype=jnp.int32)
+        anchor_classes = (a // R) % len(acfg.sizes)
+    best_gt, pos, neg = assign(anchors, gt_boxes, gt_labels, gt_valid, acfg,
+                               anchor_classes)
     matched = gt_boxes[best_gt]
     matched_lab = gt_labels[best_gt]
 

@@ -49,7 +49,10 @@ class SSTDetector(nn.Module):
     def _neck(self, bev):
         dt = jnp.dtype(self.cfg.sst.compute_dtype)
         x = bev.astype(dt)
-        for i, d in enumerate((1, 2, 3)):   # attached dilated convs
+        # attached convs filling BEV holes — the shipped dilation sequence
+        # (sst_waymoD5_1x_3class_8heads.py:66-70: d=1, 1, 2 with matching
+        # symmetric padding, which stride-1 SAME reproduces exactly)
+        for i, d in enumerate((1, 1, 2)):
             x = nn.Conv(self.cfg.neck_channels, (3, 3),
                         kernel_dilation=(d, d), use_bias=False, dtype=dt,
                         name=f"dil{i}")(x)

@@ -207,3 +207,38 @@ def test_sst_bf16_compute_close_to_f32():
         a, b = float(d32[k]), float(d16[k])
         assert np.isfinite(b), (k, b)
         assert abs(a - b) <= 0.05 * max(abs(a), 1e-3) + 2e-2, (k, a, b)
+
+
+def test_multiclass_assignment_class_restricted():
+    """3-class anchors (waymo_3class_anchor_config, sst_base.py:19-69):
+    matching is class-restricted with per-class thresholds — a car GT
+    sitting exactly on a cell can only claim car anchors; other-class
+    anchors at the same cell are background."""
+    import jax.numpy as jnp
+
+    acfg = ah.waymo_3class_anchor_config()
+    pc = (-8.0, -8.0, -3.0, 8.0, 8.0, 3.0)
+    anchors = ah.generate_anchors((8, 8), pc, acfg)
+    A = anchors.shape[0]
+    R, S = len(acfg.rotations), len(acfg.sizes)
+    anchor_classes = (jnp.arange(A) // R) % S
+
+    # GT = the car anchor at one cell and the pedestrian anchor at another
+    car = np.asarray(anchors[(10 * S + 0) * R + 0])       # cell 10, car, r0
+    ped = np.asarray(anchors[(30 * S + 2) * R + 0])       # cell 30, ped, r0
+    gt_boxes = jnp.asarray(np.stack([car, ped]))
+    gt_labels = jnp.asarray([0, 2], dtype=jnp.int32)
+    gt_valid = jnp.asarray([True, True])
+
+    best_gt, pos, neg = ah.assign(anchors, gt_boxes, gt_labels, gt_valid,
+                                  acfg, anchor_classes)
+    pos, neg, best_gt = map(np.asarray, (pos, neg, best_gt))
+    assert pos.sum() >= 2
+    # every positive anchor's class equals its matched GT's class
+    lab = np.asarray(gt_labels)[best_gt[pos]]
+    np.testing.assert_array_equal(np.asarray(anchor_classes)[pos], lab)
+    # the cyclist (class 1) anchors at the car GT's cell are background
+    cyc_at_car = (10 * S + 1) * R
+    assert neg[cyc_at_car] and neg[cyc_at_car + 1]
+    # per-class thresholds: the structure carries tuples
+    assert len(acfg.pos_iou_thr) == 3
