@@ -200,11 +200,16 @@ def anchor_head_loss(cls_logits, reg_pred, dir_pred, anchors, gt_boxes,
     loss_cls = cls_weight * jnp.sum(
         focal_loss(cls_logits, tgt) * wt) / num_pos
 
-    # regression with sin-difference heading
+    # regression with sin-difference heading (diff_rad_by_sin,
+    # train_mixins.add_sin_difference): the heading term is
+    # |sin(p)cos(t) - cos(p)sin(t)| = |sin(p - t)|, whose only minima are
+    # p = t + k*pi (the dir head resolves the pi ambiguity). An earlier
+    # revision used |sin(p) - sin(t)|, which has a spurious minimum at
+    # p = pi - t.
     deltas = coder.encode(anchors, matched)
-    sin_d = jnp.sin(matched[:, 6] - anchors[:, 6])
-    deltas = deltas.at[:, 6].set(sin_d)
-    pred = reg_pred.at[:, 6].set(jnp.sin(reg_pred[:, 6]))  # diff_rad_by_sin
+    rp, rt = reg_pred[:, 6], deltas[:, 6]
+    pred = reg_pred.at[:, 6].set(jnp.sin(rp) * jnp.cos(rt))
+    deltas = deltas.at[:, 6].set(jnp.cos(rp) * jnp.sin(rt))
     l1 = jnp.abs(pred - deltas)
     loss_bbox = bbox_weight * jnp.sum(l1 * pos[:, None]) / num_pos
 
@@ -228,11 +233,13 @@ def anchor_head_decode(cls_logits, reg_pred, dir_pred, anchors,
     labels = jnp.argmax(scores, -1)
     top, idx = jax.lax.top_k(best, max_out)
     pred = reg_pred[idx]
-    # invert sin-difference: yaw = anchor_yaw + arcsin(clip(pred_sin))
+    # the sin-difference encoding lives in the LOSS only; at decode the
+    # raw heading delta applies directly (anchor3d_head.get_bboxes ->
+    # bbox_coder.decode on the raw preds), then the dir head resolves
+    # the pi ambiguity below. An earlier revision folded the delta
+    # through arcsin(sin(.)), REFLECTING headings with |delta| > pi/2.
     a = anchors[idx]
-    raw = pred.at[:, 6].set(jnp.arcsin(jnp.clip(jnp.sin(pred[:, 6]),
-                                                -1 + 1e-6, 1 - 1e-6)))
-    boxes = coder.decode(a, raw)
+    boxes = coder.decode(a, pred)
     dirs = jnp.argmax(dir_pred[idx], -1)
     yaw = boxes[:, 6] - acfg.dir_offset
     yaw = jnp.mod(yaw, jnp.pi) + acfg.dir_offset + jnp.pi * dirs

@@ -242,3 +242,39 @@ def test_multiclass_assignment_class_restricted():
     assert neg[cyc_at_car] and neg[cyc_at_car + 1]
     # per-class thresholds: the structure carries tuples
     assert len(acfg.pos_iou_thr) == 3
+
+
+def test_heading_sin_difference_loss_surface_and_decode():
+    """diff_rad_by_sin semantics (anchor3d_head.add_sin_difference:
+    |sin(p)cos(t) - cos(p)sin(t)| = |sin(p - t)|): the heading loss term
+    vanishes at p = t and p = t + pi (the dir head resolves the flip) and
+    is NONZERO at the old formulation's spurious minimum p = pi - t; at
+    decode the raw heading delta applies directly (no arcsin fold), so
+    |delta| > pi/2 survives."""
+    import jax.numpy as jnp
+    from objectcentricocccompletion_tpu.core import coder
+
+    acfg = ah.AnchorConfig()
+    anchor = jnp.asarray([[0.0, 0.0, -1.0, 2.0, 4.7, 1.8, 0.0]])
+    t = 0.6
+    gt = anchor.at[0, 6].set(t)
+
+    def bbox_loss(p6):
+        reg = coder.encode(anchor, gt).at[0, 6].set(p6)
+        out = ah.anchor_head_loss(
+            jnp.zeros((1, 1)), reg, jnp.zeros((1, 2)), anchor, gt,
+            jnp.zeros((1,), jnp.int32), jnp.asarray([True]), acfg)
+        return float(out["loss_bbox"])
+
+    assert bbox_loss(t) < 1e-6
+    assert abs(bbox_loss(t + np.pi)) < 1e-6          # pi flip: dir head's job
+    assert bbox_loss(np.pi - t) > 0.4                # NOT a minimum
+
+    # decode: heading delta 2.0 (> pi/2) passes through raw; dir bin 0
+    reg = jnp.zeros((1, 7)).at[0, 6].set(2.0)
+    cls = jnp.full((1, 1), 5.0)
+    dirp = jnp.asarray([[5.0, -5.0]])
+    boxes, _, _, _ = ah.anchor_head_decode(cls, reg, dirp, anchor, acfg,
+                                           max_out=1)
+    # reference: limit_period(2.0 - pi/4, 0, pi) + pi/4 = 2.0 (2 < pi)
+    np.testing.assert_allclose(float(boxes[0, 6]), 2.0, atol=1e-5)
